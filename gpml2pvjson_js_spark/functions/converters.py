@@ -1,0 +1,191 @@
+"""Column-expression library: GPML value -> pvjson value converters.
+
+Spark-first re-expression of /root/reference/src/2013a/ValueConverters.ts
+(P4-P14 in SURVEY.md §2.2).  Everything here is a pure Catalyst column
+expression (JVM-side, codegen-friendly) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .mappings import NAMED_COLORS, VALUE_MAPPINGS
+
+_HEX6 = r"^[0-9a-fA-F]{6}$"
+_HEX3 = r"^[0-9a-fA-F]{3}$"
+
+
+def _map_literal(d: dict) -> Column:
+    pairs = []
+    for k, v in d.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    return F.create_map(*pairs)
+
+
+_NAMED_COLOR_MAP = None
+_VALUE_MAP = None
+
+
+def named_color_map() -> Column:
+    global _NAMED_COLOR_MAP
+    if _NAMED_COLOR_MAP is None:
+        _NAMED_COLOR_MAP = _map_literal(NAMED_COLORS)
+    return _NAMED_COLOR_MAP
+
+
+def value_mappings_map() -> Column:
+    global _VALUE_MAP
+    if _VALUE_MAP is None:
+        _VALUE_MAP = _map_literal(VALUE_MAPPINGS)
+    return _VALUE_MAP
+
+
+def map_value(col: Column) -> Column:
+    """ValueMappings lookup with identity fallback
+    (ref: src/Processor.ts:435-440)."""
+    return F.coalesce(F.element_at(value_mappings_map(), col), col)
+
+
+def css_color(col: Column) -> Column:
+    """gpmlColorToCssColor (ref: src/2013a/ValueConverters.ts:314-332):
+    'Transparent'/'None' pass through lowercased; hex gets '#'; named
+    colors resolve via the rgbcolor table; unknown -> null (quarantine
+    upstream)."""
+    low = F.lower(col)
+    return (
+        F.when(col.isNull(), F.lit(None))
+        .when(low.isin("transparent", "none"), low)
+        .when(col.rlike(_HEX6), F.concat(F.lit("#"), low))
+        .when(
+            col.rlike(_HEX3),
+            F.concat(
+                F.lit("#"),
+                F.substring(low, 1, 1), F.substring(low, 1, 1),
+                F.substring(low, 2, 1), F.substring(low, 2, 1),
+                F.substring(low, 3, 1), F.substring(low, 3, 1),
+            ),
+        )
+        .otherwise(F.element_at(named_color_map(), low))
+    )
+
+
+def kebab(col: Column) -> Column:
+    """kebabCase for single-word GPML enum values (Center -> center)."""
+    return F.lower(col)
+
+
+def html_unescape(col: Column) -> Column:
+    """he.decode for the entities that occur in GPML text
+    (ref: decodeIfNotEmpty, src/2013a/ValueConverters.ts:38-40).
+    Named + decimal numeric entities, JVM-side."""
+    c = col
+    for ent, rep in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+                     ("&amp;", "&")]:
+        c = F.regexp_replace(c, ent, rep)
+    return c
+
+
+def encode_uri(col: Column) -> Column:
+    """JS encodeURI approximation for Href values: escape spaces and
+    double quotes (GPML hrefs are otherwise URL-shaped already)."""
+    c = F.regexp_replace(col, " ", "%20")
+    c = F.regexp_replace(c, '"', "%22")
+    return c
+
+
+def rotation_degrees(col: Column) -> Column:
+    """Rotation: radians (or a side keyword) -> normalized [0, 2pi) ->
+    degrees (ref: src/2013a/ValueConverters.ts:191-222 + Angle.ts:60-62).
+    Null input -> 0."""
+    side = F.when(col == "Top", F.lit(0.0)) \
+        .when(col == "Right", F.lit(0.5 * math.pi)) \
+        .when(col == "Bottom", F.lit(math.pi)) \
+        .when(col == "Left", F.lit(1.5 * math.pi))
+    rad = F.coalesce(side, col.cast("double"), F.lit(0.0))
+    norm = F.pmod(rad, F.lit(2.0 * math.pi))
+    return F.degrees(norm)
+
+
+def text_decoration(font_decoration: Column, font_strikethru: Column) -> Column:
+    """underline / line-through / none synthesis
+    (ref: src/2013a/ValueConverters.ts:270-288)."""
+    under = font_decoration == "Underline"
+    strike = font_strikethru == "Strikethru"
+    return (
+        F.when(under & strike, F.lit("underline line-through"))
+        .when(under, F.lit("underline"))
+        .when(strike, F.lit("line-through"))
+        .otherwise(F.lit("none"))
+    )
+
+
+def stroke_dasharray(line_style: Column) -> Column:
+    """Solid -> absent(null); Broken -> '5,3'
+    (ref: src/2013a/ValueConverters.ts:224-238)."""
+    return F.when(line_style == "Broken", F.lit("5,3"))
+
+
+def stroke_width(line_thickness: Column, shape_type: Column,
+                 has_points: Column) -> Column:
+    """LineThickness converter (ref: src/2013a/ValueConverters.ts:351-381):
+    0 if undefined; the value if ShapeType is a real shape or the element
+    has edge Points; else 0."""
+    shape_ok = shape_type.isNotNull() & (F.lower(shape_type) != "none")
+    return (
+        F.when(line_thickness.isNull(), F.lit(0.0))
+        .when(shape_ok, line_thickness)
+        .when(has_points, line_thickness)
+        .otherwise(F.lit(0.0))
+    )
+
+
+def fill(fill_color: Column, shape_type: Column, has_points: Column) -> Column:
+    """FillColor converter (ref: src/2013a/ValueConverters.ts:339-349)."""
+    shape_ok = shape_type.isNotNull() & (F.lower(shape_type) != "none")
+    return F.when(shape_ok | has_points, css_color(fill_color)) \
+        .otherwise(F.lit("transparent"))
+
+
+def rel_position_scalar(rel: Column) -> Column:
+    """RelX/RelY -> position scalar with clamping into [0,1]
+    (ref: src/2013a/ValueConverters.ts:405-432)."""
+    rel01 = (rel + F.lit(1.0)) / F.lit(2.0)
+    return F.when(rel01 < 0, F.lit(0.0)) \
+        .when(rel01 > 1, F.lit(1.0)).otherwise(rel01)
+
+
+def rel_offset_scalar(rel: Column) -> Column:
+    """RelX/RelY -> relative offset scalar (spill outside [0,1])."""
+    rel01 = (rel + F.lit(1.0)) / F.lit(2.0)
+    return F.when(rel01 < 0, rel01) \
+        .when(rel01 > 1, rel01 - F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def orientation_scalar(position_scalar: Column) -> Column:
+    """Initial edge emanation sign along an axis
+    (ref: src/edge/edge.ts:74-82)."""
+    return F.when(position_scalar == 0.0, F.lit(-1.0)) \
+        .when(position_scalar == 1.0, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def union_types(*cols: Column) -> Column:
+    """unionLSV over array/string columns: flatten, drop nulls, distinct,
+    preserving first-seen order (ref: src/spinoffs/jsonld-utils.ts:85-89
+    — lodash union keeps insertion order; array_union does too)."""
+    arrs = []
+    for c in cols:
+        arrs.append(c)
+    out = arrs[0]
+    for c in arrs[1:]:
+        out = F.array_union(out, c)
+    return F.filter(out, lambda x: x.isNotNull())
+
+
+def arr(col: Column) -> Column:
+    """arrayify a scalar column (null -> empty array)."""
+    return F.when(col.isNull(), F.array().cast("array<string>")) \
+        .otherwise(F.array(col))

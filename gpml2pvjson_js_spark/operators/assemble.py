@@ -1,0 +1,180 @@
+"""Assemble the full document model: pages -> {nodes, edges, citations,
+vocabularies, pathways, quarantine}.
+
+This is the Spark-first replacement for the reference's dataflow
+scheduler + topological fixpoint (O2, src/2013a/toPvjson.ts:470-637):
+because every dependency the triple/JSON-LD outputs need is expressible
+as a bounded join DAG (state->parent, anchor->edge, edge->target,
+group->members), no driver-side fixpoint is required for assembly.
+A generic iterative topo-level operator is still provided in
+plans/topo.py for hyperedge-depth diagnostics and cycle quarantine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import edges as E
+from . import entities as N
+from . import groups as G
+from .entities import DOC_KEY
+from .parse import parse_gpml
+
+
+def _z_index_of(*frames: DataFrame) -> DataFrame:
+    parts = [
+        f.select(*DOC_KEY, F.col("id").alias("zid"),
+                 F.col("z_index").alias("z"))
+        for f in frames
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _with_burrs(hosts: DataFrame, burrs: DataFrame) -> DataFrame:
+    """hosts gain burrs=[burr ids z-sorted] (J8,
+    ref: src/2013a/toPvjson.ts:680-710)."""
+    b = burrs.select(
+        *DOC_KEY, F.col("is_attached_to").alias("host_id"),
+        F.col("id").alias("burr_id"), F.col("z_index").alias("z"))
+    agg = b.groupBy(*DOC_KEY, "host_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("z", "burr_id"))),
+            lambda s: s.burr_id,
+        ).alias("burrs")).select(
+            F.col("url").alias("b_url"), F.col("frag").alias("b_frag"),
+            "host_id", "burrs")
+    return hosts.join(
+        agg,
+        (hosts.id == agg.host_id) & (hosts.url == agg.b_url)
+        & (hosts.frag == agg.b_frag),
+        "left",
+    ).drop("b_url", "b_frag", "host_id")
+
+
+def build_document_model(spark: SparkSession, pages: DataFrame,
+                         mentions: DataFrame | None = None) -> dict:
+    if mentions is None:
+        mentions = parse_gpml(pages)
+
+    quarantine = mentions.filter(F.col("gpml_element_name") == "_error")
+    ok = mentions.filter(F.col("gpml_element_name") != "_error")
+
+    # the mention scan fans out into ~8 downstream subtrees; stage it.
+    # localCheckpoint truncates lineage so each consumer's plan is a
+    # tiny RDD scan instead of re-inlining the 60-column conversion
+    # projection (the production pipeline materializes parquet
+    # snapshots instead, see plans/pipeline.py)
+    converted = N.convert_nodeish(N.with_defaults(ok, spark)) \
+        .localCheckpoint(eager=False)
+
+    free_nodes = N.build_free_nodes(converted).localCheckpoint(eager=False)
+    states = N.build_states(converted).localCheckpoint(eager=False)
+    anchors = N.build_anchors(converted)
+    membership = G.group_membership(converted).cache()
+    groups = G.build_groups(converted, free_nodes, states, membership) \
+        .localCheckpoint(eager=False)
+
+    # edge endpoint targets: free nodes, states, groups, anchors
+    targets = (
+        free_nodes.unionByName(states)
+        .unionByName(groups.drop("gpml_group_id"), allowMissingColumns=True)
+        .unionByName(anchors)
+        .select(*DOC_KEY, "id", "gpml_element_name", "width", "height",
+                "attachment_position", "is_attached_to")
+    )
+    edges0 = E.convert_edges(converted)
+    edges1 = E.resolve_edge_points(edges0, targets)
+
+    # rebase grouped members (A4)
+    node_like = free_nodes.unionByName(states, allowMissingColumns=True)
+    node_like = G.rebase_members(node_like, groups, membership)
+    anchors2 = anchors.withColumn("is_part_of", F.lit(None).cast("string"))
+
+    # edges: shift every point by the containing group's origin
+    m2 = G.member_origins(groups, membership)
+    edges2 = edges1.join(
+        m2,
+        (edges1.id == m2.member_id) & (edges1.url == m2.m_url)
+        & (edges1.frag == m2.m_frag),
+        "left",
+    ).drop("m_url", "m_frag", "member_id")
+    edges2 = edges2.withColumn(
+        "points",
+        F.when(
+            F.col("gid").isNotNull(),
+            F.transform(
+                "points",
+                lambda p: p.withField("x", p.x - F.col("gx"))
+                .withField("y", p.y - F.col("gy")),
+            ),
+        ).otherwise(F.col("points")),
+    ).withColumn("is_part_of", F.col("gid")).drop("gid", "gx", "gy")
+
+    # burrs arrays on hosts
+    burrs_all = states.unionByName(anchors).select(
+        *DOC_KEY, "id", "is_attached_to", "z_index")
+    node_like = _with_burrs(node_like, burrs_all)
+    edges3 = _with_burrs(edges2, burrs_all)
+    groups2 = _with_burrs(groups, burrs_all)
+
+    # group contains (z-sorted member ids)
+    zmap = _z_index_of(node_like, edges3)
+    groups3 = G.group_contains(groups2, membership, zmap)
+
+    nodes = (
+        node_like.unionByName(anchors2.withColumn(
+            "burrs", F.lit(None).cast("array<string>")),
+            allowMissingColumns=True)
+        .unionByName(groups3.withColumn("is_part_of",
+                                        F.lit(None).cast("string")),
+                     allowMissingColumns=True)
+    )
+
+    citations = N.build_citations(ok)
+    vocabularies = N.build_vocabularies(ok)
+    pathways = N.build_pathways(ok)
+
+    # pathway.contains: top-level (not grouped, not burr) entities,
+    # z-sorted; pathway.type gains Pathway Ontology IRIs
+    # (ref: src/2013a/toPvjson.ts:663-667,920-936)
+    top = (
+        nodes.filter(F.col("kaavio_type") != "Burr")
+        .select(*DOC_KEY, "id", "z_index", "is_part_of")
+        .unionByName(edges3.select(*DOC_KEY, "id", "z_index", "is_part_of"))
+        .filter(F.col("is_part_of").isNull())
+    )
+    contains = top.groupBy(*DOC_KEY).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("z_index"),
+                                                 F.col("id")))),
+            lambda s: s.id,
+        ).alias("contains"))
+    po = vocabularies.filter(F.col("ontology") == "Pathway Ontology") \
+        .groupBy(*DOC_KEY).agg(F.collect_list("id").alias("pw_terms"))
+    pathways = (
+        pathways.join(contains, DOC_KEY, "left")
+        .join(po, DOC_KEY, "left")
+        .withColumn(
+            "types",
+            F.when(F.col("pw_terms").isNotNull(),
+                   F.array_union("types", "pw_terms"))
+            .otherwise(F.col("types")))
+        .drop("pw_terms")
+        .withColumn("contains",
+                    F.coalesce("contains",
+                               F.array().cast("array<string>")))
+    )
+
+    return {
+        "mentions": ok,
+        "quarantine": quarantine,
+        "nodes": nodes,
+        "edges": edges3,
+        "citations": citations,
+        "vocabularies": vocabularies,
+        "pathways": pathways,
+    }

@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # wide generated projections: keep plan stringification cheap
+        # (plan-description generation of large CaseWhen trees otherwise
+        # dominates driver time)
+        .config("spark.sql.maxPlanStringLength", "65536")
+        .config("spark.sql.debug.maxToStringFields", "10")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
