@@ -405,7 +405,7 @@ def gpml_giant(n_nodes=120):
         parts.append(_datanode(
             f"bg{i:03x}", f"G{i}", "GeneProduct",
             cx=100.0 + (i % 12) * 100.0, cy=100.0 + (i // 12) * 60.0,
-            zorder=32768 + i, xref=("Entrez Gene", str(1000 + i)),
+            zorder=32768 + i, xref=("Entrez Gene", str(900000 + i)),
         ))
     for i in range(n_nodes - 1):
         parts.append(_interaction(f"be{i:03x}", [

@@ -192,6 +192,10 @@ def resolve_edge_points(edges: DataFrame, targets: DataFrame) -> DataFrame:
             lambda s: F.struct(s.resolved_target_elem.alias("elem"),
                                s.graph_ref.alias("point_ref")),
         ).alias("point_targets"),
+        # edge-level endpoint refs (anchor hop applied) for the
+        # interaction-classification stage
+        F.min_by(F.col("edge_ref"), F.col("idx")).alias("endpoint_first_ref"),
+        F.max_by(F.col("edge_ref"), F.col("idx")).alias("endpoint_last_ref"),
     )
     agg = agg.withColumn(
         "is_attached_to",
