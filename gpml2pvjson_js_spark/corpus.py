@@ -522,6 +522,47 @@ def build_page(idx: int, seed: int = 42, hot_fraction: float = 0.125,
     }
 
 
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         limit: int | None = None) -> DataFrame:
+    """Build the pages corpus from the driver-supplied documents table
+    (one page per document row; the GPML fixture embedded is chosen
+    deterministically by doc_id, and the document text becomes the
+    page's paragraph text). This makes every KG query a genuine scan
+    of the sf-dir parquet."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang")
+    if limit:
+        docs = docs.limit(limit)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["lang"]):
+                i = int(doc_id)
+                kind, fixture_names = PAGE_MIX[i % len(PAGE_MIX)]
+                paras = [str(text)]
+                body = [f"<p>{p}</p>" for p in paras]
+                for fx in fixture_names:
+                    body.append(
+                        '<script type="application/gpml+xml">\n'
+                        + FIXTURES[fx]() + "\n</script>")
+                html = (
+                    f"<html><head><title>{kind} {i}</title></head><body>\n"
+                    + "\n".join(body) + "\n</body></html>")
+                rows.append({
+                    "url": f"https://docs.example/{kind}/{i}",
+                    "warc_ts": _EPOCH + _dt.timedelta(seconds=i),
+                    "html": html.encode("utf-8"),
+                    "text": "\n".join(paras),
+                    "lang": str(lang),
+                })
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in PAGES_SCHEMA])
+
+    return docs.mapInPandas(gen, PAGES_SCHEMA)
+
+
 def pages_df(spark: SparkSession, n_pages: int, seed: int = 42,
              hot_fraction: float = 0.125, giant_every: int = 200,
              partitions: int | None = None) -> DataFrame:

@@ -169,12 +169,16 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
                                F.array().cast("array<string>")))
     )
 
+    # stage the final frames as well: every downstream consumer
+    # (interactions, triples, linking) references nodes/edges several
+    # times — without the cut, the 20-branch triples union re-inlines
+    # the whole join DAG into one multi-MB plan
     return {
         "mentions": ok,
         "quarantine": quarantine,
-        "nodes": nodes,
-        "edges": edges3,
-        "citations": citations,
-        "vocabularies": vocabularies,
-        "pathways": pathways,
+        "nodes": nodes.localCheckpoint(eager=False),
+        "edges": edges3.localCheckpoint(eager=False),
+        "citations": citations.localCheckpoint(eager=False),
+        "vocabularies": vocabularies.localCheckpoint(eager=False),
+        "pathways": pathways.localCheckpoint(eager=False),
     }

@@ -26,11 +26,19 @@ def dependency_edges(model: dict) -> DataFrame:
     nodes, edges = model["nodes"], model["edges"]
     burr = nodes.filter(F.col("is_attached_to").isNotNull()).select(
         *DOC_KEY, "id", F.col("is_attached_to").alias("dep_id"))
+    # edge-level attachment (isAttachedTo)
     edge = edges.filter(F.col("is_attached_to").isNotNull()).select(
         *DOC_KEY, "id", F.explode("is_attached_to").alias("dep_id"))
+    # point-level attachment incl. anchors (isAttachedToOrVia,
+    # ref: src/edge/edge.ts:92-106)
+    via = edges.filter(F.col("point_targets").isNotNull()).select(
+        *DOC_KEY, "id",
+        F.explode("point_targets").alias("pt")
+    ).select(*DOC_KEY, "id", F.col("pt.point_ref").alias("dep_id"))
     grp = nodes.filter(F.col("contains").isNotNull()).select(
         *DOC_KEY, "id", F.explode("contains").alias("dep_id"))
-    return burr.unionByName(edge).unionByName(grp)
+    return burr.unionByName(edge).unionByName(via).unionByName(grp) \
+        .distinct()
 
 
 def topo_levels(entities: DataFrame, deps: DataFrame,

@@ -1,0 +1,108 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gpml2pvjson_js_spark.operators.dedup import (
+    dedup_exact, exact_duplicates, minhash_lsh_pairs, simhash,
+    simhash_near_duplicates)
+from gpml2pvjson_js_spark.operators.multimodal import (
+    FEATURE_DIM, extract_features, frame_sample_plan, synthesize_media)
+from gpml2pvjson_js_spark.operators.similarity import (
+    cosine_topk_bruteforce, cosine_topk_lsh)
+from gpml2pvjson_js_spark.operators.text_analysis import (
+    language_id, quality_score, token_counts)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "The  Quick Brown Fox jumps over the lazy dog", "en"),  # exact dup (normalized)
+        (3, "the quick brown fox jumps over the lazy cat", "en"),   # near dup
+        (4, "der hund ist nicht ein fisch und das ist gut", "de"),
+        (5, "completely different text about spark pipelines here", "en"),
+        (6, "le chat est une petite bete pour la maison", "fr"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    groups = exact_duplicates(docs)
+    dup = groups.filter(F.col("n") > 1).collect()
+    assert len(dup) == 1 and dup[0]["doc_ids"] == [1, 2]
+    kept = dedup_exact(docs)
+    assert kept.count() == 5
+    assert kept.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup found
+    assert all(a < b for a, b in pairs)
+    assert (4, 5) not in pairs
+
+
+def test_simhash_near_duplicates(docs):
+    s = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert s[1] == s[2]  # identical normalized text
+    pairs = {(r["a"], r["b"]) for r in
+             simhash_near_duplicates(docs).collect()}
+    assert (1, 2) in pairs
+
+
+def test_ann_bruteforce_and_lsh(spark):
+    import math
+    vecs = [(i, [math.cos(i / 7.0 + d) for d in range(8)], 0)
+            for i in range(50)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    assert len(exact) == 5
+    assert exact[0]["rank"] == 1
+    cos = [r["cosine"] for r in sorted(exact, key=lambda r: r["rank"])]
+    assert cos == sorted(cos, reverse=True)
+    # LSH returns a subset ranked consistently
+    approx = cosine_topk_lsh(emb, q, k=5).collect()
+    assert 0 < len(approx) <= 5
+    exact_ids = {r["nbr_id"] for r in exact}
+    approx_ids = {r["nbr_id"] for r in approx}
+    assert approx_ids & exact_ids  # nonzero recall
+
+
+def test_language_id(docs):
+    pred = {r["doc_id"]: r["lang_pred"]
+            for r in language_id(docs).collect()}
+    assert pred[1] == "en"
+    assert pred[4] == "de"
+    assert pred[6] == "fr"
+
+
+def test_quality_and_tokens(docs):
+    q = quality_score(docs).filter(F.col("doc_id") == 1).collect()[0]
+    assert q["n_tokens"] == 9
+    assert 0 <= q["quality"] <= 1
+    t = token_counts(docs).filter(F.col("doc_id") == 1).collect()[0]
+    assert t["ws_tokens"] == 9
+    assert t["bpe_tokens_est"] >= 9
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, 12)
+    assert media.count() == 12
+    f = extract_features(media)
+    rows = f.collect()
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows)
+    assert all(r["decode_status"] == "stub-decoded" for r in rows)
+    # deterministic across runs
+    again = extract_features(synthesize_media(spark, 12)).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+    plan = frame_sample_plan(media, every_ms=500)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert plan.count() == vids * 3  # 0, 500, 1000
