@@ -387,6 +387,12 @@ def kg_text_invariant(spark, sf_dir):
         "url", (F.col("extracted_text") == F.col("text")).alias("ok"))
 
 
+def kg_jsonld(spark, sf_dir):
+    from gpml2pvjson_js_spark.operators.export import jsonld_documents
+    k = _kg(spark, sf_dir)
+    return jsonld_documents(k["model"])
+
+
 def kg_topo_levels(spark, sf_dir):
     from gpml2pvjson_js_spark.plans.topo import (
         dependency_edges, topo_levels)
@@ -434,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonical_triples": kg_canonical_triples,
         "kg_linked": kg_linked,
         "kg_text_invariant": kg_text_invariant,
+        "kg_jsonld": kg_jsonld,
         "kg_topo_levels": kg_topo_levels,
     }
 

@@ -18,11 +18,17 @@ _HEX6 = r"^[0-9a-fA-F]{6}$"
 _HEX3 = r"^[0-9a-fA-F]{3}$"
 
 
+_PAIR_SEP = "\x1e"
+_KV_SEP = "\x1f"
+
+
 def _map_literal(d: dict) -> Column:
-    pairs = []
-    for k, v in d.items():
-        pairs.extend([F.lit(k), F.lit(v)])
-    return F.create_map(*pairs)
+    """Literal map column. Encoded as ONE string literal through
+    str_to_map (constant-folded to a map literal by Catalyst) instead
+    of create_map(2N literal expressions) — keeps plan trees, plan
+    strings, and codegen units small for the 40+-entry dialect maps."""
+    flat = _PAIR_SEP.join(f"{k}{_KV_SEP}{v}" for k, v in d.items())
+    return F.str_to_map(F.lit(flat), F.lit(_PAIR_SEP), F.lit(_KV_SEP))
 
 
 _NAMED_COLOR_MAP = None

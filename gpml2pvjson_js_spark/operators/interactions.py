@@ -62,12 +62,10 @@ def _marker_bp_maps():
     normalize case so the classification stage fulfills the table's
     intent; the `types` column still reproduces the reference output
     exactly (see MARKER_MAPPINGS key casing)."""
-    bp_pairs, ct_pairs = [], []
-    for marker, m in MARKER_MAPPINGS.items():
-        bp_pairs.extend([F.lit(marker.lower()), F.lit(m["bp"])])
-        if m["control_type"]:
-            ct_pairs.extend([F.lit(marker.lower()), F.lit(m["control_type"])])
-    return F.create_map(*bp_pairs), F.create_map(*ct_pairs)
+    bp = {m.lower(): v["bp"] for m, v in MARKER_MAPPINGS.items()}
+    ct = {m.lower(): v["control_type"] for m, v in MARKER_MAPPINGS.items()
+          if v["control_type"]}
+    return C._map_literal(bp), C._map_literal(ct)
 
 
 def classify_interactions(edges: DataFrame, nodes: DataFrame) -> DataFrame:

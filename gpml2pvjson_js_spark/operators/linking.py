@@ -36,10 +36,8 @@ SIM_THRESHOLD = 0.5
 
 
 def canonical_iri(datasource_col, identifier_col):
-    pairs = []
-    for k, v in DATASOURCE_PREFIX.items():
-        pairs.extend([F.lit(k), F.lit(v)])
-    prefix = F.element_at(F.create_map(*pairs), datasource_col)
+    from ..functions.converters import _map_literal
+    prefix = F.element_at(_map_literal(DATASOURCE_PREFIX), datasource_col)
     return F.when(
         prefix.isNotNull() & identifier_col.isNotNull(),
         F.concat(F.lit("https://identifiers.org/"), prefix, F.lit("/"),

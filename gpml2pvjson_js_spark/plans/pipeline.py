@@ -115,7 +115,7 @@ class SnapshotStore:
 STAGES = [
     "mentions", "quarantine", "nodes", "edges", "citations",
     "vocabularies", "pathways", "interactions", "triples", "linked",
-    "canonical_triples", "text",
+    "canonical_triples", "documents", "text",
 ]
 
 
@@ -197,7 +197,17 @@ class Pipeline:
                 canonical_map(out["linked"], same_as_edges(out["linked"], xd))),
             resume)
 
-        # stage 6: per-url extracted text (the byte-identical invariant)
+        # stage 6: JSON-LD documents (NDJSON-ready, S5/JS1/JS2)
+        out["documents"] = self._stage(
+            "documents",
+            lambda: __import__(
+                "gpml2pvjson_js_spark.operators.export",
+                fromlist=["jsonld_documents"]).jsonld_documents(
+                {k: out[k] for k in ["nodes", "edges", "citations",
+                                     "vocabularies", "pathways"]}),
+            resume)
+
+        # stage 7: per-url extracted text (the byte-identical invariant)
         out["text"] = self._stage(
             "text", lambda: extracted_text(pages), resume)
         return out
