@@ -63,18 +63,80 @@ def run_kg_pipeline(spark, sf_dir: str) -> tuple[int, float]:
     return n, time.time() - t0
 
 
+def _kg_lazy(spark, sf_dir: str):
+    """Build the full pipeline DAG with NO driver-side actions
+    (fixed CC rounds), so one count() captures all execution."""
+    from gpml2pvjson_js_spark.corpus import pages_from_documents
+    from gpml2pvjson_js_spark.operators.assemble import build_document_model
+    from gpml2pvjson_js_spark.operators.canonicalize import (
+        canonical_map, rewrite_triples)
+    from gpml2pvjson_js_spark.operators.interactions import (
+        classify_interactions)
+    from gpml2pvjson_js_spark.operators.linking import (
+        link_entities, same_as_edges, xref_dictionary)
+    from gpml2pvjson_js_spark.operators.triples import build_triples
+
+    pages = pages_from_documents(spark, sf_dir)
+    model = build_document_model(spark, pages)
+    inter = classify_interactions(model["edges"], model["nodes"])
+    triples = build_triples(model, inter)
+    xd = xref_dictionary(spark)
+    linked = link_entities(model["nodes"], xd)
+    return rewrite_triples(
+        triples,
+        canonical_map(linked, same_as_edges(linked, xd),
+                      check_convergence=False))
+
+
+def run_pipeline_measured(spark, sf_dir: str, out_root: str,
+                          replicate: int = 1) -> tuple[int, float, dict]:
+    """Snapshot pipeline (the production path) over the derived
+    corpus; returns (n_triples, wall_sec, per_stage_ms)."""
+    import shutil
+    from gpml2pvjson_js_spark.corpus import (
+        pages_from_documents, replicate_pages)
+    from gpml2pvjson_js_spark.plans.pipeline import Pipeline
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    pages = replicate_pages(
+        pages_from_documents(spark, sf_dir), replicate)
+    pipe = Pipeline(spark, pages, out_root, n_buckets=64)
+    t0 = time.time()
+    pipe.run(resume=False)
+    wall = time.time() - t0
+    n = pipe.store.manifest("canonical_triples")["rows"]
+    stages = {s: m["wall_ms"] for s, m in pipe.metrics().items()}
+    return n, wall, stages
+
+
 def main() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import tempfile
     from gpml2pvjson_js_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    # fixed shuffle-partition count across parallelism levels so the
+    # N vs 4N comparison varies compute threads only (like adding
+    # executors to a cluster with a fixed partitioning)
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=64)
     queries: dict[str, float] = {}
+    tmp = tempfile.mkdtemp(prefix="kgbench_")
 
+    # warmup: small corpus through the same plans — compiles codegen,
+    # spins up python workers, JITs the hot paths
     t0 = time.time()
-    n_triples, kg_sec = run_kg_pipeline(spark, SF_DIR)
-    queries["kg_pipeline_total"] = round(time.time() - t0, 3)
+    run_pipeline_measured(spark, "/root/testdata/sf0.001",
+                          f"{tmp}/warmup")
+    queries["kg_warmup"] = round(time.time() - t0, 3)
+
+    # measured run (cold data, warm JVM) — the reported number
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    n_triples, kg_sec, stages = run_pipeline_measured(
+        spark, SF_DIR, f"{tmp}/measured", replicate)
     queries["kg_pipeline_exec"] = round(kg_sec, 3)
+    for s, ms in stages.items():
+        queries[f"kg_stage_{s}"] = round(ms / 1000.0, 3)
 
     headline = [
         "agg_pricing_summary", "two_hop_join", "window_ordinal",

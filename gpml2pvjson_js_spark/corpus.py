@@ -419,6 +419,37 @@ def gpml_giant(n_nodes=120):
     )
 
 
+def gpml_styled():
+    """Exercises ValueConverters: named + hex colors, Broken line
+    style, font weight/style/decoration, RoundedRectangle rx/ry,
+    DoubleLineProperty, HTML entities in labels (P7-P11, P15)."""
+    return _doc(
+        _pathway_open(name="styled (fixture)", board_w=600.0,
+                      board_h=300.0),
+        # named color, broken line, bold italic underline
+        '  <DataNode TextLabel="A &amp; B" GraphId="sty01" Type="Protein">\n'
+        '    <Graphics CenterX="100.0" CenterY="100.0" Width="80.0" '
+        'Height="20.0" ZOrder="32768" Color="Red" FillColor="ff00ff" '
+        'LineStyle="Broken" FontWeight="Bold" FontStyle="Italic" '
+        'FontDecoration="Underline" ShapeType="RoundedRectangle" />\n'
+        '    <Xref Database="" ID="" />\n'
+        "  </DataNode>",
+        # double-line shape
+        '  <Shape GraphId="sty02">\n'
+        '    <Attribute Key="org.pathvisio.DoubleLineProperty" '
+        'Value="Double" />\n'
+        '    <Graphics CenterX="300.0" CenterY="100.0" Width="100.0" '
+        'Height="60.0" ZOrder="16384" LineThickness="2.0" '
+        'ShapeType="Oval" Color="008000" />\n'
+        "  </Shape>",
+        # strikethru label
+        '  <Label TextLabel="struck" GraphId="sty03">\n'
+        '    <Graphics CenterX="500.0" CenterY="100.0" Width="60.0" '
+        'Height="20.0" ZOrder="28672" FontStrikethru="Strikethru" />\n'
+        "  </Label>",
+    )
+
+
 def gpml_generated_ids():
     """Exercises the pvjsgeneratedid<hex> assignment: a group with no
     GraphId plus an existing hex-parsable id that must bump the counter
@@ -446,6 +477,7 @@ FIXTURES = {
     "shapes-labels": gpml_shapes_labels,
     "empty": gpml_empty,
     "generated-ids": gpml_generated_ids,
+    "styled": gpml_styled,
 }
 
 # Page mix: each entry is (kind, fixture names embedded in the page).
@@ -461,6 +493,7 @@ PAGE_MIX = [
     ("shapes-labels", ["shapes-labels"]),
     ("empty", ["empty"]),
     ("generated-ids", ["generated-ids"]),
+    ("styled", ["styled"]),
     ("multi", ["one-node", "states"]),       # multi-fragment page
     ("negative", []),                          # page with no GPML at all
 ]
@@ -522,8 +555,22 @@ def build_page(idx: int, seed: int = 42, hot_fraction: float = 0.125,
     }
 
 
+def replicate_pages(pages: DataFrame, factor: int) -> DataFrame:
+    """Deterministically scale a corpus by `factor` with distinct urls
+    (same embedded GPML, unique lineage keys)."""
+    if factor <= 1:
+        return pages
+    import pyspark.sql.functions as F
+    copies = pages.sparkSession.range(factor).select(
+        F.col("id").alias("copy"))
+    return pages.crossJoin(copies).withColumn(
+        "url", F.concat("url", F.lit("?copy="), F.col("copy"))
+    ).drop("copy")
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str,
-                         limit: int | None = None) -> DataFrame:
+                         limit: int | None = None,
+                         partitions: int | None = None) -> DataFrame:
     """Build the pages corpus from the driver-supplied documents table
     (one page per document row; the GPML fixture embedded is chosen
     deterministically by doc_id, and the document text becomes the
@@ -533,6 +580,10 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
         .select("doc_id", "text", "lang")
     if limit:
         docs = docs.limit(limit)
+    # a small parquet file arrives as ONE split; spread the Python
+    # parse stage across the cluster
+    docs = docs.repartition(
+        partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches):
         for pdf in batches:

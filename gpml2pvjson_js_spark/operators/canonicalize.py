@@ -20,10 +20,17 @@ from pyspark.sql import functions as F
 MAX_ROUNDS = 12
 
 
-def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS
-                         ) -> DataFrame:
+def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS,
+                         check_convergence: bool = True) -> DataFrame:
     """edges(src, dst) undirected -> (id, component) with component =
-    min id in the component."""
+    min id in the component.
+
+    check_convergence=True runs a driver-side changed-row count per
+    round (early exit). check_convergence=False runs exactly
+    max_rounds lazily — no actions — so callers can keep the whole
+    pipeline a single deferred DAG (bench/pipeline mode); rounds then
+    bound the diameter handled (2^rounds with min-propagation is far
+    beyond any sameAs chain we produce)."""
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=False)
@@ -44,20 +51,25 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS
                     F.coalesce(F.col("nbr_min"), F.col("component"))
                     ).alias("component"),
         ).localCheckpoint(eager=False)
-        changed = labels.withColumnRenamed("component", "old").join(
-            new_labels.withColumnRenamed("id", "id3"),
-            F.col("id") == F.col("id3"),
-        ).filter(F.col("old") != F.col("component")).count()
-        labels = new_labels
-        if changed == 0:
-            break
+        if check_convergence:
+            changed = labels.withColumnRenamed("component", "old").join(
+                new_labels.withColumnRenamed("id", "id3"),
+                F.col("id") == F.col("id3"),
+            ).filter(F.col("old") != F.col("component")).count()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels
 
 
-def canonical_map(linked: DataFrame, same_as: DataFrame) -> DataFrame:
+def canonical_map(linked: DataFrame, same_as: DataFrame,
+                  check_convergence: bool = True) -> DataFrame:
     """(url, frag, id, canonical): every linked mention mapped to the
     min-IRI representative of its sameAs component."""
-    comp = connected_components(same_as)
+    comp = connected_components(same_as,
+                                check_convergence=check_convergence)
     mention_key = F.concat_ws("#", "url", F.col("frag").cast("string"), "id")
     m = linked.filter(F.col("canonical_iri").isNotNull()) \
         .withColumn("mkey", mention_key)

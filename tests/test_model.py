@@ -125,3 +125,28 @@ def test_shapes_and_labels(model):
     assert lb["href"] == "http://example.org/more%20info"
     assert lb["draw_as"] == "none"  # Label default ShapeType None
     assert lb["fill"] == "transparent"
+
+
+def test_styled_converters(model):
+    """P7-P11/P15: colors, broken lines, fonts, rx/ry, double-line,
+    entity decoding."""
+    nodes = rows_by_id(model["nodes"], "/styled/")
+    a = nodes["sty01"]
+    assert a["stroke"] == "#ff0000"            # named color Red
+    assert a["fill"] == "#ff00ff"              # bare hex
+    assert a["stroke_dasharray"] == "5,3"      # Broken
+    assert a["font_weight"] == "bold"
+    assert a["font_style"] == "italic"
+    assert a["text_decoration"] == "underline"
+    assert a["rx"] == 15.0 and a["ry"] == 15.0  # RoundedRectangle
+    assert a["draw_as"] == "rect"
+    assert a["text_content"] == "A & B"        # entity decoded
+    b = nodes["sty02"]
+    assert b["stroke_style"] == "double"
+    assert b["width"] == 102.0                 # 100 + LineThickness 2
+    assert b["height"] == 62.0
+    assert b["stroke_width"] == 2.0
+    assert b["stroke"] == "#008000"
+    assert b["x"] == 300.0 - 102.0 / 2
+    c = nodes["sty03"]
+    assert c["text_decoration"] == "line-through"
