@@ -419,6 +419,22 @@ def gpml_giant(n_nodes=120):
     )
 
 
+def gpml_elbow():
+    """ElbowLine with implicit waypoints (F4): left side of A to top
+    of B, like the reference edge-elbow-left1-to-top1 fixtures."""
+    return _doc(
+        _pathway_open(name="elbow (fixture)", board_w=400.0,
+                      board_h=300.0),
+        _datanode("el001", "A", "Protein", cx=120.0, cy=130.0),
+        _datanode("el002", "B", "Protein", cx=260.0, cy=90.0,
+                  zorder=32769),
+        _interaction("ee001", [
+            _point(80.0, 130.0, "el001", -1.0, 0.0),
+            _point(260.0, 80.0, "el002", 0.0, -1.0, "Arrow"),
+        ], connector_type="Elbow"),
+    )
+
+
 def gpml_styled():
     """Exercises ValueConverters: named + hex colors, Broken line
     style, font weight/style/decoration, RoundedRectangle rx/ry,
@@ -478,6 +494,7 @@ FIXTURES = {
     "empty": gpml_empty,
     "generated-ids": gpml_generated_ids,
     "styled": gpml_styled,
+    "elbow": gpml_elbow,
 }
 
 # Page mix: each entry is (kind, fixture names embedded in the page).
@@ -494,6 +511,7 @@ PAGE_MIX = [
     ("empty", ["empty"]),
     ("generated-ids", ["generated-ids"]),
     ("styled", ["styled"]),
+    ("elbow", ["elbow"]),
     ("multi", ["one-node", "states"]),       # multi-fragment page
     ("negative", []),                          # page with no GPML at all
 ]

@@ -87,7 +87,11 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
                 "attachment_position", "is_attached_to")
     )
     edges0 = E.convert_edges(converted)
-    edges1 = E.resolve_edge_points(edges0, targets)
+    edges1 = E.resolve_edge_points(edges0, targets) \
+        .localCheckpoint(eager=False)
+    # implicit Elbow/Curved waypoints (F4/F5) before group re-basing
+    from .waypoints import synthesize_waypoints
+    edges1 = synthesize_waypoints(edges1)
 
     # rebase grouped members (A4)
     node_like = free_nodes.unionByName(states, allowMissingColumns=True)

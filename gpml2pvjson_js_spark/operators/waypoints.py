@@ -1,0 +1,133 @@
+"""Waypoint synthesis stage: Elbow/Curved edges gain their implicit
+intermediate points (F4/F5) via the Arrow-batched geometry kernel.
+
+Hyperedges (edges attached to other edges via anchors) need the
+referenced edge's resolved points to pick an emanation orientation, so
+the stage runs as bounded topo rounds (the Spark analog of the
+reference's fixpoint scheduler, src/2013a/toPvjson.ts:470-637): round
+k processes edges whose referenced edges are already final. Leftovers
+(cycles) pass through unchanged, matching the reference's cycle
+tolerance.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .entities import DOC_KEY
+from ..functions.geometry import calculate_all_points
+
+MAX_ROUNDS = 2  # hyperedge depth covered lazily; no driver actions
+_CURVY = ("ElbowLine", "CurvedLine")
+
+
+def _point_to_dict(p) -> dict:
+    return {
+        "x": p["x"], "y": p["y"],
+        "is_attached_to": p.get("is_attached_to"),
+        "attachment_position": p.get("attachment_position"),
+        "attachment_offset": p.get("attachment_offset"),
+        "orientation": p.get("orientation"),
+        "marker": p.get("marker"),
+    }
+
+
+def _synthesize_batch(batches: Iterable[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        new_points = []
+        for points, src_pts, tgt_pts in zip(
+                pdf["points"], pdf["src_edge_points"],
+                pdf["tgt_edge_points"]):
+            pts = [_point_to_dict(dict(p)) for p in points]
+            src = ([_point_to_dict(dict(p)) for p in src_pts]
+                   if src_pts is not None and len(src_pts) else None)
+            tgt = ([_point_to_dict(dict(p)) for p in tgt_pts]
+                   if tgt_pts is not None and len(tgt_pts) else None)
+            try:
+                out = calculate_all_points(pts, src, tgt)
+            except Exception:
+                out = pts  # cycle/degenerate tolerance: keep explicit
+            new_points.append(out)
+        res = pdf.drop(columns=["points", "src_edge_points",
+                                "tgt_edge_points"])
+        res["points"] = new_points
+        yield res
+
+
+def synthesize_waypoints(edges: DataFrame,
+                         max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """edges (resolved, from resolve_edge_points) -> edges with
+    Elbow/Curved implicit waypoints made explicit."""
+    needs = edges.filter(F.col("draw_as").isin(*_CURVY))
+    done = edges.filter(~F.col("draw_as").isin(*_CURVY))
+
+    # which endpoint refs are edges (need referenced points)?
+    edge_ids = edges.select(
+        F.col("url").alias("e_url"), F.col("frag").alias("e_frag"),
+        F.col("id").alias("e_id"))
+
+    out_schema = edges.schema
+    # NOTE: fixed rounds with NO driver-side actions — the whole stage
+    # stays one lazy DAG (same rationale as the fixed-round CC mode in
+    # canonicalize.py). Curvy-edge chains deeper than max_rounds pass
+    # through unchanged (reference cycle tolerance).
+    for _ in range(max_rounds):
+        done_ids = done.select(
+            F.col("url").alias("d_url"), F.col("frag").alias("d_frag"),
+            F.col("id").alias("d_id"))
+        # an edge is ready when each edge-typed endpoint ref is done
+        refs = needs.select(*DOC_KEY, "id",
+                            F.explode_outer("is_attached_to").alias("ref"))
+        refs = refs.join(
+            edge_ids,
+            (refs.url == edge_ids.e_url) & (refs.frag == edge_ids.e_frag)
+            & (refs.ref == edge_ids.e_id),
+            "left",
+        ).withColumn("ref_is_edge", F.col("e_id").isNotNull()) \
+            .drop("e_url", "e_frag", "e_id")
+        refs = refs.join(
+            done_ids,
+            (refs.url == done_ids.d_url) & (refs.frag == done_ids.d_frag)
+            & (refs.ref == done_ids.d_id),
+            "left",
+        ).withColumn("ref_done", F.col("d_id").isNotNull()) \
+            .drop("d_url", "d_frag", "d_id")
+        ready_ids = refs.groupBy(*DOC_KEY, "id").agg(
+            F.min(F.when(F.col("ref_is_edge") & ~F.col("ref_done"), 0)
+                  .otherwise(1)).alias("ready")
+        ).filter(F.col("ready") == 1).select(*DOC_KEY, "id")
+
+        ready = needs.join(ready_ids, [*DOC_KEY, "id"], "left_semi")
+        # attach referenced edge points for anchor-attached endpoints
+        dp = done.select(
+            F.col("url").alias("p_url"), F.col("frag").alias("p_frag"),
+            F.col("id").alias("p_id"), F.col("points").alias("p_points"))
+        ready2 = ready.join(
+            dp,
+            (ready.url == dp.p_url) & (ready.frag == dp.p_frag)
+            & (ready.endpoint_first_ref == dp.p_id), "left",
+        ).withColumnRenamed("p_points", "src_edge_points") \
+            .drop("p_url", "p_frag", "p_id")
+        dp2 = done.select(
+            F.col("url").alias("q_url"), F.col("frag").alias("q_frag"),
+            F.col("id").alias("q_id"), F.col("points").alias("q_points"))
+        ready2 = ready2.join(
+            dp2,
+            (ready2.url == dp2.q_url) & (ready2.frag == dp2.q_frag)
+            & (ready2.endpoint_last_ref == dp2.q_id), "left",
+        ).withColumnRenamed("q_points", "tgt_edge_points") \
+            .drop("q_url", "q_frag", "q_id")
+
+        fixed = ready2.mapInPandas(_synthesize_batch, out_schema)
+        done = done.unionByName(fixed).localCheckpoint(eager=False)
+        needs = needs.join(ready_ids, [*DOC_KEY, "id"], "left_anti") \
+            .localCheckpoint(eager=False)
+
+    # cycle tolerance: anything never ready passes through unchanged
+    return done.unionByName(needs)

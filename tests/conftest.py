@@ -9,7 +9,7 @@ from gpml2pvjson_js_spark.operators.interactions import classify_interactions
 from gpml2pvjson_js_spark.operators.triples import build_triples
 from gpml2pvjson_js_spark.session import get_spark
 
-N_PAGES = 14  # one page per fixture class (PAGE_MIX), no giants
+N_PAGES = 15  # one page per fixture class (PAGE_MIX), no giants
 
 
 @pytest.fixture(scope="session")

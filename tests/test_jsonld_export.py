@@ -22,7 +22,7 @@ def test_one_node_document_matches_golden_exactly(model, golden):
 
 def test_documents_are_valid_json_per_page(model):
     docs = jsonld_documents(model).collect()
-    assert len(docs) == 14  # one per fragment incl. empty + multi
+    assert len(docs) == 15  # one per fragment incl. empty + multi
     for r in docs:
         d = json.loads(r["jsonld"])
         assert "pathway" in d and "entitiesById" in d

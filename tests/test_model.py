@@ -150,3 +150,22 @@ def test_styled_converters(model):
     assert b["x"] == 300.0 - 102.0 / 2
     c = nodes["sty03"]
     assert c["text_decoration"] == "line-through"
+
+
+def test_elbow_waypoint_synthesis(model):
+    """F4: implicit Elbow waypoints synthesized (left side of A to top
+    of B -> perpendicular else-branch: 2 intermediates)."""
+    edges = rows_by_id(model["edges"], "/elbow/")
+    e = edges["ee001"]
+    assert e["draw_as"] == "ElbowLine"
+    pts = e["points"]
+    assert len(pts) == 4
+    # start stub goes left of A
+    assert pts[1]["x"] == 80.0 - 20.0
+    # perpendicular approach: intermediate shares end-stub y
+    assert pts[2]["y"] == 80.0 - 20.0
+    # intermediates carry only coordinates
+    assert pts[1]["is_attached_to"] is None
+    # endpoints unchanged
+    assert (pts[0]["x"], pts[0]["y"]) == (80.0, 130.0)
+    assert (pts[3]["x"], pts[3]["y"]) == (260.0, 80.0)
