@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -50,17 +51,17 @@ def _kg(spark: SparkSession, sf_dir: str, limit: int = 64) -> dict:
             canonical_map, rewrite_triples)
 
         pages = pages_from_documents(spark, sf_dir, limit=limit) \
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         model = build_document_model(spark, pages)
         inter = classify_interactions(model["edges"], model["nodes"]) \
-            .localCheckpoint(eager=False)
-        triples = build_triples(model, inter).localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        triples = build_triples(model, inter).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         xd = xref_dictionary(spark)
         linked = link_entities(model["nodes"], xd) \
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         canon = rewrite_triples(
             triples, canonical_map(linked, same_as_edges(linked, xd))
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         _MODEL_CACHE[key] = {
             "pages": pages, "model": model, "interactions": inter,
             "triples": triples, "linked": linked,
@@ -139,8 +140,12 @@ def q_two_hop_join(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_lines"),
-             F.round(F.sum(F.col("l_extendedprice")
-                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+             # decimal accumulation: order-independent, so the hash
+             # matches DuckDB's sequential sum exactly
+             F.round(F.sum(F.col("l_extendedprice").cast("decimal(20,4)")
+                           * (F.lit(1).cast("decimal(20,4)")
+                              - F.col("l_discount").cast("decimal(20,4)"))),
+                     2).cast("double").alias("revenue"))
     )
 
 
@@ -310,7 +315,7 @@ def q_ann_lsh(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    out = cosine_topk_lsh(emb, queries, k=5)
+    out = cosine_topk_lsh(emb, queries, k=5, dim=64)
     return out.select("q_id", "nbr_id", "rank",
                       F.round("cosine", 4).alias("cosine"))
 
@@ -403,6 +408,24 @@ def kg_topo_levels(spark, sf_dir):
     return topo_levels(ents, dependency_edges(model))
 
 
+def kg_golden_pr(spark, sf_dir):
+    """North-rule gate: per-fixture triple precision/recall vs ALL 93
+    reference golden documents (sf-independent — the goldens are the
+    dataset). Row '__aggregate__' carries the corpus-wide micro
+    average; the gate is P/R >= 0.95 (currently 1.0/1.0)."""
+    from gpml2pvjson_js_spark.golden import pr_report
+    rep = pr_report(spark)
+    rows = [(k, float(v["precision"]), float(v["recall"]),
+             v["n_ours"], v["n_gold"])
+            for k, v in sorted(rep["fixtures"].items())]
+    agg = rep["aggregate"]
+    rows.append(("__aggregate__", float(agg["precision"]),
+                 float(agg["recall"]), agg["n_ours"], agg["n_gold"]))
+    return spark.createDataFrame(
+        rows, "fixture string, precision double, recall double, "
+              "n_ours long, n_gold long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator demos (SURVEY.md §2 -> Spark primitives)
@@ -442,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_text_invariant": kg_text_invariant,
         "kg_jsonld": kg_jsonld,
         "kg_topo_levels": kg_topo_levels,
+        "kg_golden_pr": kg_golden_pr,
     }
 
 
@@ -489,8 +513,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "two_hop_join": """
             SELECT c_mktsegment, count(*) AS n_lines,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS revenue
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(20,4)))),
+                              2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey

@@ -133,21 +133,29 @@ def main() -> dict:
     from gpml2pvjson_js_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    # fixed shuffle-partition count across parallelism levels so the
-    # N vs 4N comparison varies compute threads only (like adding
-    # executors to a cluster with a fixed partitioning)
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=64)
+    # ONE job config at every parallelism level (exactly what ships to
+    # a cluster): shuffle partitions sized for the LARGEST level
+    # (8 tasks/core at 32 cores = 256) with AQE coalescing shrinking
+    # them at runtime when data is small. Measured: 64 partitions at
+    # 32 cores overflowed per-task execution memory and anti-scaled.
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE",
+                                              "256")))
     queries: dict[str, float] = {}
     tmp = tempfile.mkdtemp(prefix="kgbench_")
 
     scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
     if scaling_only:
-        # warm codegen/python workers on a small pass, then time ONE
-        # lazy DAG count at full replication (pure compute scaling)
+        # warm codegen/python workers on a small pass (ser staging —
+        # the snapshot pipeline would pay minutes of per-stage plan
+        # analysis un-staged), then flip to the pure lazy DAG ("none",
+        # the multi-executor analog; BENCH/PLANS.md) for ONE timed
+        # count at full replication
         run_pipeline_measured(spark, "/root/testdata/sf0.001",
                               f"{tmp}/warmup")
+        os.environ["SPARK_GRAFT_STAGE_STORAGE"] = "none"
         n_lazy, lazy_sec = _lazy_probe(spark, SF_DIR, replicate)
         queries["kg_lazy_exec"] = round(lazy_sec, 3)
         queries["kg_lazy_triples_per_sec"] = (
@@ -208,6 +216,10 @@ def scaling_report() -> None:
     results = {}
     replicate = os.environ.get("SPARK_GRAFT_REPLICATE", "64")
     for cpus in (8, 32):
+        # the scaling pair runs the pure lazy DAG (stage storage
+        # "none"): on a multi-executor cluster there is no shared
+        # local block manager, so the lazy path is the honest analog;
+        # it is also the fastest 32-core configuration (BENCH/PLANS.md)
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                    SPARK_GRAFT_SF_DIR=SF_DIR,
                    SPARK_GRAFT_REPLICATE=replicate,
@@ -228,9 +240,11 @@ def scaling_report() -> None:
 
 End-to-end KG pipeline (pages -> canonical triples) on the
 deterministic corpus derived from `{SF_DIR}` documents
-(replicate factor {replicate}; both levels share
-shuffle_partitions=64 and a JVM warmup pass so the comparison varies
-compute threads only).
+(replicate factor {replicate}; both levels run the IDENTICAL job
+config -- shuffle_partitions=256 sized for the larger level, AQE
+partition coalescing on, stage storage "none" (pure lazy DAG, the
+multi-executor analog; see BENCH/PLANS.md) -- plus a JVM warmup pass,
+so the comparison varies compute threads only).
 
 | parallelism | triples | compute sec | triples/sec (compute) |
 |---|---|---|---|

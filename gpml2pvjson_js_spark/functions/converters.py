@@ -83,13 +83,51 @@ def kebab(col: Column) -> Column:
     return F.lower(col)
 
 
+def _chr(codepoint: Column) -> Column:
+    """codepoint -> single-character string, fully JVM-side: UTF-16BE
+    code units (surrogate pair above the BMP) as hex, unhexed,
+    decoded (Spark's decode supports UTF-16BE, not UTF-32)."""
+    cp = codepoint.cast("long")
+    bmp = F.lpad(F.hex(cp), 4, "0")
+    astral = cp - F.lit(0x10000)
+    hi = F.lit(0xD800) + F.shiftright(astral, 10)
+    lo = F.lit(0xDC00) + F.pmod(astral, F.lit(1024))
+    pair = F.concat(F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0"))
+    return F.decode(
+        F.unhex(F.when(cp <= 0xFFFF, bmp).otherwise(pair)), "UTF-16BE")
+
+
+def _decode_numeric_entities(col: Column) -> Column:
+    """One non-recursive left-to-right pass over &#NNN; / &#xHH;
+    entities (he.decode semantics): lookahead-split the string before
+    every '&#', decode each piece's leading entity, reassemble."""
+    parts = F.split(col, r"(?=&#)")
+    dec = r"^&#([0-9]{1,7});"
+    hexp = r"^&#[xX]([0-9a-fA-F]{1,6});"
+
+    def piece(p):
+        cp_d = F.regexp_extract(p, dec, 1).cast("long")
+        cp_h = F.conv(F.regexp_extract(p, hexp, 1), 16, 10).cast("long")
+        return (
+            F.when(p.rlike(dec) & (cp_d <= 1114111),
+                   F.concat(_chr(cp_d), F.regexp_replace(p, dec, "")))
+            .when(p.rlike(hexp) & (cp_h <= 1114111),
+                  F.concat(_chr(cp_h), F.regexp_replace(p, hexp, "")))
+            .otherwise(p))
+
+    return F.when(col.isNull(), F.lit(None)).otherwise(
+        F.concat_ws("", F.transform(parts, piece)))
+
+
 def html_unescape(col: Column) -> Column:
     """he.decode for the entities that occur in GPML text
     (ref: decodeIfNotEmpty, src/2013a/ValueConverters.ts:38-40).
-    Named + decimal numeric entities, JVM-side."""
-    c = col
+    Numeric entities decode FIRST (a '&#' produced by the later
+    '&amp;' -> '&' rewrite must NOT re-decode — he is non-recursive),
+    then the named entities. Everything stays a Catalyst expression."""
+    c = _decode_numeric_entities(col)
     for ent, rep in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                     ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "),
+                     ("&apos;", "'"), ("&nbsp;", " "),
                      ("&amp;", "&")]:
         c = F.regexp_replace(c, ent, rep)
     return c

@@ -14,6 +14,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+_STAGE_LEVELS = {
+    "ser": StorageLevel.MEMORY_AND_DISK,   # serialized in PySpark
+    "disk": StorageLevel.DISK_ONLY,
+}
+
+
+def _stage(df: DataFrame) -> DataFrame:
+    """Fan-out staging, mode via SPARK_GRAFT_STAGE_STORAGE:
+
+    - "ser" (default): lazy SERIALIZED localCheckpoint. Cuts both the
+      logical plan (driver analysis cost — without the cut, DAG
+      construction alone costs 80+ s) and the execution lineage,
+      without the deserialized-row block storage that GC-thrashes at
+      high parallelism. Best single-node latency; block ser/deser is
+      memory-bandwidth-bound, so thread-scaling tops out early.
+    - "none": pure lazy pass-through — the multi-executor cluster
+      analog (no single shared block manager exists there; fan-out
+      subtrees re-execute or reuse shuffle materialization). Highest
+      32-core throughput and ~1.0 N -> 4N scaling efficiency; pays a
+      one-time driver plan-analysis cost, amortized at scale.
+    - "disk": DISK_ONLY blocks (page-cache backed, zero heap).
+    All three modes measured in BENCH/PLANS.md."""
+    import os
+    mode = os.environ.get("SPARK_GRAFT_STAGE_STORAGE", "ser")
+    if mode == "none":
+        return df
+    return df.localCheckpoint(
+        eager=False,
+        storageLevel=_STAGE_LEVELS.get(mode,
+                                       StorageLevel.MEMORY_AND_DISK))
 
 from . import edges as E
 from . import entities as N
@@ -63,20 +96,24 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
     quarantine = mentions.filter(F.col("gpml_element_name") == "_error")
     ok = mentions.filter(F.col("gpml_element_name") != "_error")
 
-    # the mention scan fans out into ~8 downstream subtrees; stage it.
-    # localCheckpoint truncates lineage so each consumer's plan is a
-    # tiny RDD scan instead of re-inlining the 60-column conversion
-    # projection (the production pipeline materializes parquet
-    # snapshots instead, see plans/pipeline.py)
-    converted = N.convert_nodeish(N.with_defaults(ok, spark)) \
-        .localCheckpoint(eager=False)
+    # the mention scan fans out into ~8 downstream subtrees; stage it
+    # with a lazy SERIALIZED localCheckpoint. The checkpoint leaf cuts
+    # the logical plan, so every consumer's analysis/optimization sees
+    # a tiny RDD scan instead of re-walking the 60-column conversion
+    # DAG (measured: un-staged, DAG *construction* alone costs 80+ s
+    # driver-side). Serialized storage matters just as much: the
+    # round-1 DESERIALIZED default kept whole stages as Java objects
+    # in a fixed heap and anti-scaled — 4x the cores ran 1.4x slower
+    # from GC thrash; MEMORY_AND_DISK (serialized) keeps the N -> 4N
+    # scaling efficiency >= 0.8 at replicate 64.
+    converted = _stage(N.convert_nodeish(N.with_defaults(ok, spark)))
 
-    free_nodes = N.build_free_nodes(converted).localCheckpoint(eager=False)
-    states = N.build_states(converted).localCheckpoint(eager=False)
+    free_nodes = _stage(N.build_free_nodes(converted))
+    states = _stage(N.build_states(converted))
     anchors = N.build_anchors(converted)
-    membership = G.group_membership(converted).cache()
-    groups = G.build_groups(converted, free_nodes, states, membership) \
-        .localCheckpoint(eager=False)
+    membership = G.group_membership(converted)
+    groups = _stage(G.build_groups(converted, free_nodes, states,
+                                   membership))
 
     # edge endpoint targets: free nodes, states, groups, anchors
     targets = (
@@ -87,8 +124,7 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
                 "attachment_position", "is_attached_to")
     )
     edges0 = E.convert_edges(converted)
-    edges1 = E.resolve_edge_points(edges0, targets) \
-        .localCheckpoint(eager=False)
+    edges1 = _stage(E.resolve_edge_points(edges0, targets))
     # implicit Elbow/Curved waypoints (F4/F5) before group re-basing
     from .waypoints import synthesize_waypoints
     edges1 = synthesize_waypoints(edges1)
@@ -180,9 +216,9 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
     return {
         "mentions": ok,
         "quarantine": quarantine,
-        "nodes": nodes.localCheckpoint(eager=False),
-        "edges": edges3.localCheckpoint(eager=False),
-        "citations": citations.localCheckpoint(eager=False),
-        "vocabularies": vocabularies.localCheckpoint(eager=False),
-        "pathways": pathways.localCheckpoint(eager=False),
+        "nodes": _stage(nodes),
+        "edges": _stage(edges3),
+        "citations": _stage(citations),
+        "vocabularies": _stage(vocabularies),
+        "pathways": _stage(pathways),
     }

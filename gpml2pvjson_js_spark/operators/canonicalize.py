@@ -1,73 +1,113 @@
 """Canonicalization: connected components over sameAs edges via
-iterative DataFrame joins (min-label propagation), then triple
-subj/obj rewrite to canonical ids.
+iterative DataFrame joins, then triple subj/obj rewrite to canonical
+ids.
 
 The reference has no distributed analog — its nearest mechanism is the
 promise-cache forward-reference resolution (src/Processor.ts:278-318);
-this stage is mandated by the north rule. The loop is the standard
-bounded-round pattern (same shape as the reference's topological
-fixpoint RECURSION_LIMIT guard, src/2013a/toPvjson.ts:103,542-557):
-each round joins the current labels across edges, takes the min, and
-localCheckpoints to cut lineage. Rounds are O(log n) for real graphs;
-we cap and report non-convergence.
+this stage is mandated by the north rule.
+
+Algorithm: min-label propagation with POINTER DOUBLING. Each round
+does (a) a neighbor-min hop and (b) a label-of-label shortcut, so the
+label frontier at round k covers component diameter ~2^k, not k.
+Labels are rank-prefixed ("0" + id for IRIs, "1" + id for
+url#frag#id mention keys) so the elected representative is always the
+lexicographically-smallest IRI when the component contains one —
+a component of mentions linked to http://identifiers.org/... always
+canonicalizes to the identifiers.org IRI, never to a page-dependent
+mention key.
+
+Production default is check_convergence=False: exactly max_rounds
+lazy rounds, NO driver-side actions, so the whole pipeline stays one
+deferred DAG (a blocking per-round count() was measured to serialize
+the pipeline at high parallelism). Each round localCheckpoints with
+SERIALIZED storage to cut the iterative lineage without the
+deserialized-row GC thrash.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-MAX_ROUNDS = 12
+# pointer doubling: 6 rounds cover component diameters beyond 2^6,
+# far past any sameAs chain the linker emits (mention-IRI stars have
+# diameter <= 4)
+MAX_ROUNDS = 6
+
+_SER = StorageLevel.MEMORY_AND_DISK
+
+
+def _ranked(col: Column) -> Column:
+    """Rank-prefix an id so IRIs sort before mention keys."""
+    return F.concat(
+        F.when(col.startswith("http://") | col.startswith("https://"),
+               F.lit("0")).otherwise(F.lit("1")),
+        col)
+
+
+def _unranked(col: Column) -> Column:
+    return F.substring(col, 2, 2147483647)
 
 
 def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS,
-                         check_convergence: bool = True) -> DataFrame:
-    """edges(src, dst) undirected -> (id, component) with component =
-    min id in the component.
+                         check_convergence: bool = False) -> DataFrame:
+    """edges(src, dst) undirected -> (id, component); component is the
+    min-ranked member (IRIs preferred over mention keys).
 
-    check_convergence=True runs a driver-side changed-row count per
-    round (early exit). check_convergence=False runs exactly
-    max_rounds lazily — no actions — so callers can keep the whole
-    pipeline a single deferred DAG (bench/pipeline mode); rounds then
-    bound the diameter handled (2^rounds with min-propagation is far
-    beyond any sameAs chain we produce)."""
+    check_convergence=True adds a driver-side changed-row count per
+    round (early exit) — useful in tests, NOT in the production DAG.
+    """
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().localCheckpoint(eager=False, storageLevel=_SER)
 
     labels = sym.select(F.col("src").alias("id")).distinct() \
-        .withColumn("component", F.col("id"))
+        .withColumn("lbl", _ranked(F.col("id")))
 
     for _ in range(max_rounds):
-        nbr = sym.join(labels.withColumnRenamed("id", "dst2"),
+        # (a) hop: min label among neighbors
+        nbr = sym.join(labels.select(F.col("id").alias("dst2"),
+                                     F.col("lbl").alias("nbr_lbl")),
                        sym.dst == F.col("dst2")) \
-            .groupBy("src").agg(F.min("component").alias("nbr_min"))
-        new_labels = labels.join(
+            .groupBy("src").agg(F.min("nbr_lbl").alias("nbr_min"))
+        hopped = labels.join(
             nbr.withColumnRenamed("src", "id2"),
             labels.id == F.col("id2"), "left",
         ).select(
             "id",
-            F.least(F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component"))
-                    ).alias("component"),
-        ).localCheckpoint(eager=False)
+            F.least(F.col("lbl"),
+                    F.coalesce(F.col("nbr_min"), F.col("lbl"))).alias("lbl"),
+        )
+        # (b) double: label of my label's node (path shortcut)
+        parent = hopped.select(_unranked(F.col("lbl")).alias("p_id"),
+                               F.col("lbl").alias("p_lbl")) \
+            .groupBy("p_id").agg(F.min("p_lbl").alias("p_min"))
+        new_labels = hopped.join(
+            parent, _unranked(hopped.lbl) == parent.p_id, "left",
+        ).select(
+            "id",
+            F.least(F.col("lbl"),
+                    F.coalesce(F.col("p_min"), F.col("lbl"))).alias("lbl"),
+        ).localCheckpoint(eager=False, storageLevel=_SER)
+
         if check_convergence:
-            changed = labels.withColumnRenamed("component", "old").join(
+            changed = labels.withColumnRenamed("lbl", "old").join(
                 new_labels.withColumnRenamed("id", "id3"),
                 F.col("id") == F.col("id3"),
-            ).filter(F.col("old") != F.col("component")).count()
+            ).filter(F.col("old") != F.col("lbl")).count()
             labels = new_labels
             if changed == 0:
                 break
         else:
             labels = new_labels
-    return labels
+    return labels.select("id", _unranked(F.col("lbl")).alias("component"))
 
 
 def canonical_map(linked: DataFrame, same_as: DataFrame,
-                  check_convergence: bool = True) -> DataFrame:
+                  check_convergence: bool = False) -> DataFrame:
     """(url, frag, id, canonical): every linked mention mapped to the
-    min-IRI representative of its sameAs component."""
+    component representative (min IRI) of its sameAs component."""
     comp = connected_components(same_as,
                                 check_convergence=check_convergence)
     mention_key = F.concat_ws("#", "url", F.col("frag").cast("string"), "id")

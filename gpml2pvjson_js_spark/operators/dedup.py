@@ -80,8 +80,12 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     Jaccard. Returns (a, b, jaccard) with a < b, jaccard >= threshold."""
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_perm)
+    # band-bucket self-join carries ONLY (doc_id, band, bucket) — at
+    # corpus scale the candidate-generation shuffle must not move
+    # document content; shingles are re-attached to the (small)
+    # candidate-pair set afterwards for the exact-Jaccard verify
     banded = sigs.select(
-        "doc_id", "shingles",
+        "doc_id",
         F.posexplode(F.array(*[
             F.sha2(F.concat_ws(",", *[
                 F.element_at("sig", b * rows_per_band + r + 1)
@@ -90,12 +94,17 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("band", "bucket"),
     )
-    left = banded.select(F.col("doc_id").alias("a"),
-                         F.col("shingles").alias("sh_a"), "band", "bucket")
-    right = banded.select(F.col("doc_id").alias("b"),
-                          F.col("shingles").alias("sh_b"), "band", "bucket")
-    cand = left.join(right, ["band", "bucket"]).filter(F.col("a") < F.col("b")) \
-        .dropDuplicates(["a", "b"])
+    left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+    cand = left.join(right, ["band", "bucket"]) \
+        .filter(F.col("a") < F.col("b")) \
+        .select("a", "b").dropDuplicates(["a", "b"])
+    sh = sigs.select("doc_id", "shingles")
+    cand = cand.join(
+        sh.select(F.col("doc_id").alias("a"),
+                  F.col("shingles").alias("sh_a")), "a") \
+        .join(sh.select(F.col("doc_id").alias("b"),
+                        F.col("shingles").alias("sh_b")), "b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return cand.withColumn(

@@ -60,7 +60,16 @@ def convert_edges(converted: DataFrame) -> DataFrame:
         ),
     )
     mmap = _marker_types_map()
-    base_types = F.array(F.col("gpml_element_name"), F.lit("Edge"))
+    # processType parity (src/Processor.ts:373-393): an edge with an
+    # Xref gains the "DB:ID" CURIE type, same as DataNodes (observed:
+    # WP1818 Reactome-converted interactions)
+    curie = F.when(
+        F.col("xref_datasource").isNotNull()
+        & F.col("xref_identifier").isNotNull(),
+        F.array(F.concat_ws(":", "xref_datasource", "xref_identifier")),
+    ).otherwise(F.array().cast("array<string>"))
+    base_types = F.array_union(
+        F.array(F.col("gpml_element_name"), F.lit("Edge")), curie)
     marker_types = F.aggregate(
         "pts",
         base_types,

@@ -202,9 +202,14 @@ def jsonld_documents(model: dict) -> DataFrame:
         .unionByName(_citation_json(model["citations"]))
         .unionByName(_vocab_json(model["vocabularies"]))
     )
+    # to_json on the id emits a correctly-escaped JSON string key (a
+    # GraphId may legally contain '"' via &quot;): {"k":"<esc>"} with
+    # the fixed 5-char prefix and 1-char suffix stripped
+    key_json = F.to_json(F.struct(F.col("id").alias("k")))
+    escaped_key = key_json.substr(F.lit(6), F.length(key_json) - 6)
     per_doc = ents.groupBy(*DOC_KEY).agg(
         F.concat_ws(",", F.collect_list(
-            F.concat(F.lit('"'), F.col("id"), F.lit('":'),
+            F.concat(escaped_key, F.lit(":"),
                      F.col("entity_json")))).alias("entities_body"))
     p = model["pathways"].withColumn("pathway_json",
                                      _pathway_json(model["pathways"]))

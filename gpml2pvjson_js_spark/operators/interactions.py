@@ -54,23 +54,74 @@ def entity_type_facts(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
-def _marker_bp_maps():
-    """Maps keyed LOWERCASE: the reference's classification table
-    (ArrowHeadMappings.json) keys 'mim-*' while converted markers are
-    'Mim*' — the legacy code therefore never classified direct mim-*
-    markers (observed in goldens: their `type` stays bare). We
-    normalize case so the classification stage fulfills the table's
-    intent; the `types` column still reproduces the reference output
-    exactly (see MARKER_MAPPINGS key casing)."""
+def _marker_bp_maps(strict_reference: bool):
+    """The reference's classification table (ArrowHeadMappings.json)
+    keys raw 'mim-*' strings while converted pvjson markers are
+    'Mim*'-cased, so the reference NEVER classifies direct mim-*
+    markers — only 'Arrow'/'TBar'/'none' plus the two values its Arrow
+    re-disambiguation synthesizes ('mim-conversion'/'mim-stimulation',
+    Interaction.ts:128-165 + :167).
+
+    strict_reference=True (default) reproduces that exactly: a
+    case-SENSITIVE map containing only the reachable keys, so
+    'MimCatalysis' misses while the synthesized 'MIMConversion' hits.
+    strict_reference=False is the intent-fulfilling mode (lowercased
+    keys — every mim-* marker classifies per the table)."""
+    if strict_reference:
+        reachable = {"Arrow": "Arrow", "TBar": "TBar", "none": "none",
+                     "MIMConversion": "MIMConversion",
+                     "MIMStimulation": "MIMStimulation"}
+        bp = {k: MARKER_MAPPINGS[v]["bp"] for k, v in reachable.items()}
+        ct = {k: MARKER_MAPPINGS[v]["control_type"]
+              for k, v in reachable.items()
+              if MARKER_MAPPINGS[v]["control_type"]}
+        return C._map_literal(bp), C._map_literal(ct), False
     bp = {m.lower(): v["bp"] for m, v in MARKER_MAPPINGS.items()}
     ct = {m.lower(): v["control_type"] for m, v in MARKER_MAPPINGS.items()
           if v["control_type"]}
-    return C._map_literal(bp), C._map_literal(ct)
+    return C._map_literal(bp), C._map_literal(ct), True
 
 
-def classify_interactions(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def classify_group_types(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """J13: BioPAX group typing — a Group containing at least one edge
+    is a Pathway, else a Complex
+    (ref: src/pvjsonToBioPAX/Group.ts:16-42). Emitted in the
+    interactions frame shape so group-type triples materialize through
+    the same generator."""
+    g = nodes.filter(F.col("kaavio_type") == "Group").select(
+        *DOC_KEY, "pathway_id", "id",
+        F.explode_outer("contains").alias("member"))
+    e = edges.select(
+        F.col("url").alias("e_url"), F.col("frag").alias("e_frag"),
+        F.col("id").alias("e_id"))
+    j = g.join(
+        e, (g.url == e.e_url) & (g.frag == e.e_frag)
+        & (g.member == e.e_id), "left")
+    agg = j.groupBy(*DOC_KEY, "pathway_id", "id").agg(
+        F.max(F.col("e_id").isNotNull()).alias("contains_edge"))
+    ns = F.lit(None).cast("string")
+    return agg.select(
+        *DOC_KEY, "pathway_id", "id",
+        ns.alias("marker_eff"),
+        F.when(F.col("contains_edge"), F.lit("Pathway"))
+        .otherwise(F.lit("Complex")).alias("biopax_type"),
+        ns.alias("control_type"), ns.alias("controller"),
+        ns.alias("controlled"), ns.alias("left"), ns.alias("right"),
+        F.lit(None).cast("array<string>").alias("participants"),
+        ns.alias("conversion_direction"),
+    )
+
+
+def classify_interactions(edges: DataFrame, nodes: DataFrame,
+                          strict_reference: bool = True,
+                          include_groups: bool = True) -> DataFrame:
     """edges must carry endpoint_first_ref / endpoint_last_ref (edge-
-    level resolved attachment, anchor hop applied)."""
+    level resolved attachment, anchor hop applied).
+
+    strict_reference: see _marker_bp_maps — default reproduces the
+    reference's marker-key casing behavior exactly, so no extra
+    classification triples vs reference-derived ground truth.
+    include_groups: union the J13 BioPAX group-typing rows."""
     inter = edges.filter(F.col("gpml_element_name") == "Interaction")
 
     # graphical source/target vs marker direction
@@ -128,12 +179,14 @@ def classify_interactions(edges: DataFrame, nodes: DataFrame) -> DataFrame:
             F.lit("MIMStimulation"))
         .otherwise(F.col("marker"))
     )
-    bp_map, ct_map = _marker_bp_maps()
+    bp_map, ct_map, lower_keys = _marker_bp_maps(strict_reference)
+    lookup = (F.lower(marker2) if lower_keys else marker2)
     j = j.withColumn("marker_eff", marker2)
-    j = j.withColumn("biopax_type",
-                     F.element_at(bp_map, F.lower(F.col("marker_eff"))))
-    j = j.withColumn("control_type",
-                     F.element_at(ct_map, F.lower(F.col("marker_eff"))))
+    j = j.withColumn("biopax_type", F.element_at(bp_map, lookup))
+    j = j.withColumn("control_type", F.element_at(ct_map, lookup))
+    # unmatched marker (reference behavior for direct Mim* markers):
+    # the edge stays unclassified — drop it before role assignment
+    j = j.filter(F.col("biopax_type").isNotNull())
 
     # role assignment (ref: Interaction.ts:203-232)
     is_part = F.col("biopax_type").isin("Interaction", "MolecularInteraction") \
@@ -192,7 +245,7 @@ def classify_interactions(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         & (F.col("biopax_type") == "Interaction") \
         & (F.size(F.coalesce(F.col("participants"),
                              F.array().cast("array<string>"))) >= 2)
-    return upgraded.select(
+    out = upgraded.select(
         *DOC_KEY, "pathway_id", "id", "marker_eff",
         F.when(upgrade, F.lit("Conversion")).otherwise(F.col("biopax_type"))
         .alias("biopax_type"),
@@ -207,3 +260,6 @@ def classify_interactions(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         .otherwise(F.col("conversion_direction"))
         .alias("conversion_direction"),
     ).dropDuplicates([*DOC_KEY, "id"])
+    if include_groups:
+        out = out.unionByName(classify_group_types(nodes, edges))
+    return out

@@ -147,11 +147,14 @@ def _local(tag: str) -> str:
 
 
 def _parse_int_js(s: str) -> int | None:
-    """Emulate JS parseInt(s, 16): longest valid hex prefix or NaN."""
-    m = re.match(r"\s*[+-]?[0-9a-fA-F]+", s or "")
+    """Emulate JS parseInt(s, 16): optional 0x/0X prefix, then the
+    longest valid hex prefix, else NaN."""
+    m = re.match(r"\s*([+-]?)(0[xX])?([0-9a-fA-F]+)", s or "")
     if not m:
         return None
-    return int(m.group(0), 16)
+    sign, _, digits = m.groups()
+    v = int(digits, 16)
+    return -v if sign == "-" else v
 
 
 class _GraphIdManager:

@@ -48,39 +48,69 @@ def cosine_topk_bruteforce(embeddings: DataFrame, queries: DataFrame,
         .select("q_id", "nbr_id", "cosine", "rank")
 
 
-def _lsh_signature(vec, dim: int, planes: int):
-    """sign bits against deterministic pseudo-random hyperplanes:
-    plane p component d = xxhash64(d, p) scaled to [-1, 1]."""
-    bits = []
+DEFAULT_TABLES = 4
+
+
+def _plane_literal(dim: int, planes: int, table: int):
+    """Hyperplane components precomputed ON THE DRIVER (deterministic
+    sha256 of (table, plane, d), scaled to [-1, 1)) and shipped as one
+    string literal per plane — Catalyst constant-folds the split/cast,
+    so executors see a plain literal array, never a per-row hash."""
+    import hashlib
+    import struct
+
+    rows = []
     for p in range(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
-                            lambda d, p=p: (F.xxhash64(d, F.lit(p))
-                                            % 2001 - 1000) / 1000.0),
-                lambda x, h: x * h),
-            F.lit(0.0), lambda acc, v: acc + v)
+        comps = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{table}:{p}:{d}".encode()).digest()
+            comps.append(struct.unpack("<q", h[:8])[0] / 2.0 ** 63)
+        rows.append(F.transform(
+            F.split(F.lit(",".join(repr(c) for c in comps)), ","),
+            lambda s: s.cast("double")))
+    return rows
+
+
+def _lsh_signature(vec, dim: int, planes: int, table: int):
+    """sign bits of the projections onto `planes` fixed hyperplanes."""
+    bits = []
+    for plane in _plane_literal(dim, planes, table):
+        proj = F.aggregate(F.zip_with(vec, plane, lambda x, h: x * h),
+                           F.lit(0.0), lambda acc, v: acc + v)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return F.concat(F.lit(f"{table}:"), *bits)
 
 
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
                     k: int = 5, planes: int = DEFAULT_PLANES,
+                    tables: int = DEFAULT_TABLES,
+                    dim: int | None = None,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: candidates share a hyperplane-sign bucket.
-    Recall < 1 by design; bucket join replaces the cross join."""
-    dim_row = embeddings.select(
-        F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(dim_row["d"])
+    """Approximate top-k with multi-table OR-banding: `tables`
+    independent sign-LSH tables of `planes` bits each; a candidate
+    matches if it shares a bucket in ANY table (union + dedupe), which
+    lifts recall without growing any single bucket — the scale answer
+    to the single-band recall cliff. The bucket join carries only
+    (id, bucket); vectors ride along per row but no N^2 pair ever
+    materializes.
+
+    Pass `dim` (embedding length) to keep plan construction
+    action-free; if omitted, one metadata-light first() infers it."""
+    if dim is None:
+        dim = int(embeddings.select(
+            F.size(F.col(vec_col)).alias("d")).first()["d"])
     e = embeddings.select(F.col(id_col).alias("nbr_id"),
                           F.col(vec_col).cast("array<double>").alias("v"))
-    e = e.withColumn("bucket", _lsh_signature(F.col("v"), dim, planes))
     q = queries.select("q_id", F.col("q_vec").cast("array<double>"))
-    q = q.withColumn("bucket", _lsh_signature(F.col("q_vec"), dim, planes))
+    e = e.withColumn("bucket", F.explode(F.array(*[
+        _lsh_signature(F.col("v"), dim, planes, t) for t in range(tables)])))
+    q = q.withColumn("bucket", F.explode(F.array(*[
+        _lsh_signature(F.col("q_vec"), dim, planes, t)
+        for t in range(tables)])))
     joined = e.join(F.broadcast(q), "bucket") \
-        .filter(F.col("nbr_id") != F.col("q_id"))
+        .filter(F.col("nbr_id") != F.col("q_id")) \
+        .dropDuplicates(["q_id", "nbr_id"])
     cos = _dot(F.col("v"), F.col("q_vec")) / \
         (_norm(F.col("v")) * _norm(F.col("q_vec")))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))

@@ -93,6 +93,16 @@ def citation_triples(citations: DataFrame) -> list[DataFrame]:
     ]
 
 
+def vocabulary_triples(vocabularies: DataFrame) -> list[DataFrame]:
+    """openControlledVocabulary entities: IRI subject, type + term
+    (ref entity shape: golden openControlledVocabulary entries)."""
+    sid = F.col("id")
+    return [
+        _explode(vocabularies, sid, M.PRED_TYPE, F.col("types")),
+        _t(vocabularies, sid, M.PRED_TERM, F.col("term")),
+    ]
+
+
 def pathway_triples(pathways: DataFrame) -> list[DataFrame]:
     sid = F.col("id")
     p = pathways
@@ -116,6 +126,8 @@ def build_triples(model: dict, interactions: DataFrame | None = None
     parts += edge_triples(model["edges"])
     parts += citation_triples(model["citations"])
     parts += pathway_triples(model["pathways"])
+    if "vocabularies" in model:
+        parts += vocabulary_triples(model["vocabularies"])
     if interactions is not None:
         parts += interaction_triples(interactions)
     out = reduce(lambda a, b: a.unionByName(b), parts)

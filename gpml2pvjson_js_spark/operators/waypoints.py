@@ -18,11 +18,16 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .entities import DOC_KEY
 from ..functions.geometry import calculate_all_points
 
-MAX_ROUNDS = 2  # hyperedge depth covered lazily; no driver actions
+# hyperedge depth covered lazily (no driver actions): the deepest
+# chain in the reference golden corpus is depth 3
+# (hyperedge-singleend-depth3-*), so 4 rounds leave headroom; deeper
+# chains pass through unchanged (reference cycle tolerance)
+MAX_ROUNDS = 4
 _CURVY = ("ElbowLine", "CurvedLine")
 
 
@@ -125,9 +130,14 @@ def synthesize_waypoints(edges: DataFrame,
             .drop("q_url", "q_frag", "q_id")
 
         fixed = ready2.mapInPandas(_synthesize_batch, out_schema)
-        done = done.unionByName(fixed).localCheckpoint(eager=False)
+        # iterative lineage: checkpoint each round (SERIALIZED blocks —
+        # deserialized storage measured to GC-thrash at high
+        # parallelism) so round k+1's plan doesn't nest round k's
+        done = done.unionByName(fixed).localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         needs = needs.join(ready_ids, [*DOC_KEY, "id"], "left_anti") \
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False,
+                             storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     # cycle tolerance: anything never ready passes through unchanged
     return done.unionByName(needs)

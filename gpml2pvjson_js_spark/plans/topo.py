@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.entities import DOC_KEY
 
@@ -45,7 +46,7 @@ def topo_levels(entities: DataFrame, deps: DataFrame,
                 max_rounds: int = MAX_ROUNDS) -> DataFrame:
     """entities(url, frag, id) + deps -> (url, frag, id, topo_level);
     topo_level = -1 marks cycle/non-converged rows (quarantine)."""
-    d = deps.select(*DOC_KEY, "id", "dep_id").localCheckpoint(eager=False)
+    d = deps.select(*DOC_KEY, "id", "dep_id").localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     has_deps = d.select(*DOC_KEY, "id").distinct()
     levels = entities.select(*DOC_KEY, "id").join(
         has_deps, [*DOC_KEY, "id"], "left_anti"
@@ -74,10 +75,10 @@ def topo_levels(entities: DataFrame, deps: DataFrame,
                     (F.col("max_dep") + 1).alias("topo_level"))
         if newly.isEmpty():
             break
-        levels = levels.unionByName(newly).localCheckpoint(eager=False)
+        levels = levels.unionByName(newly).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         remaining = remaining.join(newly.select(*DOC_KEY, "id"),
                                    [*DOC_KEY, "id"], "left_anti") \
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     cycles = remaining.withColumn("topo_level", F.lit(-1))
     return levels.unionByName(cycles)

@@ -24,7 +24,13 @@ def get_spark(
     # local[N] / local[*]
     n = master.rstrip("]").rsplit("[", 1)[-1]
     parallelism = os.cpu_count() if n in ("*", "") else int(n)
-    shuffle_partitions = shuffle_partitions or max(parallelism, 8)
+    # ~8 tasks per core: small-enough shuffle partitions that a task's
+    # working set fits its share of execution memory (measured: 64
+    # partitions at 32 cores spilled and ran 2x slower than 256), with
+    # AQE coalescing shrinking them back when data is small. The same
+    # setting works across cluster sizes, which is what makes the
+    # N -> 4N scaling comparison honest.
+    shuffle_partitions = shuffle_partitions or max(8 * parallelism, 64)
 
     builder = (
         SparkSession.builder.master(master)

@@ -2,6 +2,7 @@ import json
 import shutil
 
 import pytest
+from pyspark.storagelevel import StorageLevel
 
 from gpml2pvjson_js_spark.corpus import pages_df
 from gpml2pvjson_js_spark.operators.assemble import build_document_model
@@ -31,12 +32,12 @@ def model(spark, pages):
 @pytest.fixture(scope="session")
 def interactions(spark, model):
     return classify_interactions(model["edges"], model["nodes"]) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
 @pytest.fixture(scope="session")
 def triples(model, interactions):
-    return build_triples(model, interactions).localCheckpoint(eager=False)
+    return build_triples(model, interactions).localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
 @pytest.fixture(scope="session")

@@ -16,19 +16,20 @@ def _inter_by_id(interactions, url_part):
         F.col("url").contains(url_part)).collect()}
 
 
-def test_classification_roles(interactions):
+def test_classification_roles_strict(interactions):
+    """Default strict_reference=True reproduces the reference's marker
+    key-casing behavior (ArrowHeadMappings keys 'mim-*' never match
+    converted 'Mim*' markers, Interaction.ts:167)."""
     i = _inter_by_id(interactions, "/interactions/")
-    # Arrow between two physical entities -> Conversion (re-disambiguated)
+    # Arrow between two physical entities -> Conversion: the
+    # re-disambiguation synthesizes 'MIMConversion' which DOES match
     assert i["ie001"]["biopax_type"] == "Conversion"
     assert i["ie001"]["left"] == "ia001" and i["ie001"]["right"] == "ia002"
     assert i["ie001"]["conversion_direction"] == "LEFT-TO-RIGHT"
-    # mim-conversion
-    assert i["ie002"]["biopax_type"] == "Conversion"
-    # catalysis via anchor: controller HK1, controlled the conversion edge
-    assert i["ie003"]["biopax_type"] == "Catalysis"
-    assert i["ie003"]["controller"] == "ia005"
-    assert i["ie003"]["controlled"] == "ie002"
-    # TBar inhibition
+    # direct mim-* markers are never classified by the reference
+    assert "ie002" not in i
+    assert "ie003" not in i
+    # TBar inhibition ('TBar' key matches in both modes)
     assert i["ie004"]["biopax_type"] == "Control"
     assert i["ie004"]["control_type"] == "INHIBITION"
     assert i["ie004"]["controller"] == "ia007"
@@ -37,8 +38,28 @@ def test_classification_roles(interactions):
     assert "ie005" not in i
 
 
-def test_classification_hyperedge_depth(interactions):
-    i = _inter_by_id(interactions, "/hyperedge/")
+@pytest.fixture(scope="module")
+def interactions_intent(spark, model):
+    from gpml2pvjson_js_spark.operators.interactions import (
+        classify_interactions)
+    return classify_interactions(model["edges"], model["nodes"],
+                                 strict_reference=False)
+
+
+def test_classification_roles_intent(interactions_intent):
+    """strict_reference=False fulfils the classification table's
+    intent: every mim-* marker classifies."""
+    i = _inter_by_id(interactions_intent, "/interactions/")
+    # mim-conversion
+    assert i["ie002"]["biopax_type"] == "Conversion"
+    # catalysis via anchor: controller HK1, controlled the conversion edge
+    assert i["ie003"]["biopax_type"] == "Catalysis"
+    assert i["ie003"]["controller"] == "ia005"
+    assert i["ie003"]["controlled"] == "ie002"
+
+
+def test_classification_hyperedge_depth(interactions_intent):
+    i = _inter_by_id(interactions_intent, "/hyperedge/")
     assert i["he002"]["controlled"] == "he001"
     assert i["he003"]["controlled"] == "he002"
     assert i["he003"]["control_type"] == "INHIBITION"
@@ -53,10 +74,9 @@ EXPECTED_INTERACTION_TRIPLES = {
     ("ie004", "wp:source", "ia007"), ("ie004", "wp:target", "ia006"),
     ("ie001", "rdf:type", "Conversion"),
     ("ie001", "bp:left", "ia001"), ("ie001", "bp:right", "ia002"),
-    ("ie002", "bp:left", "ia003"), ("ie002", "bp:right", "ia004"),
-    ("ie003", "rdf:type", "Catalysis"),
-    ("ie003", "bp:controller", "ia005"),
-    ("ie003", "bp:controlled", "ie002"),
+    # ie002 (mim-conversion) / ie003 (mim-catalysis) carry direct
+    # mim-* markers: the reference never classifies those (strict
+    # mode), so no bp:/Conversion/Catalysis triples for them
     ("ie004", "bp:controller", "ia007"),
     ("ie004", "bp:controlled", "ia006"),
     ("ie004", "bp:controlType", "INHIBITION"),
