@@ -124,7 +124,9 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
                 "attachment_position", "is_attached_to")
     )
     edges0 = E.convert_edges(converted)
-    edges1 = _stage(E.resolve_edge_points(edges0, targets))
+    # no _stage here: synthesize_waypoints checkpoints its loop input
+    # unconditionally (see its docstring)
+    edges1 = E.resolve_edge_points(edges0, targets)
     # implicit Elbow/Curved waypoints (F4/F5) before group re-basing
     from .waypoints import synthesize_waypoints
     edges1 = synthesize_waypoints(edges1)

@@ -48,7 +48,13 @@ def cosine_topk_bruteforce(embeddings: DataFrame, queries: DataFrame,
         .select("q_id", "nbr_id", "cosine", "rank")
 
 
-DEFAULT_TABLES = 4
+# sign-LSH match probability per table is (1 - theta/pi)^planes, so
+# fewer bits per table = higher recall, more tables = OR-amplified
+# recall, more bits = better bucket selectivity. 4 bits x 8 tables
+# gives ~0.8+ top-k recall on moderately-similar corpora; at larger
+# corpus scale raise `planes` (selectivity) and `tables` together.
+DEFAULT_LSH_PLANES = 4
+DEFAULT_TABLES = 8
 
 
 def _plane_literal(dim: int, planes: int, table: int):
@@ -65,24 +71,43 @@ def _plane_literal(dim: int, planes: int, table: int):
         for d in range(dim):
             h = hashlib.sha256(f"{table}:{p}:{d}".encode()).digest()
             comps.append(struct.unpack("<q", h[:8])[0] / 2.0 ** 63)
-        rows.append(F.transform(
-            F.split(F.lit(",".join(repr(c) for c in comps)), ","),
-            lambda s: s.cast("double")))
+        try:
+            rows.append(F.lit(comps))  # array literal (pyspark >= 4)
+        except Exception:
+            # CreateArray of literals constant-folds to one Literal
+            rows.append(F.array(*[F.lit(c) for c in comps]))
     return rows
 
 
-def _lsh_signature(vec, dim: int, planes: int, table: int):
+def _lsh_bits(vec, dim: int, planes: int, table: int) -> list:
     """sign bits of the projections onto `planes` fixed hyperplanes."""
     bits = []
     for plane in _plane_literal(dim, planes, table):
         proj = F.aggregate(F.zip_with(vec, plane, lambda x, h: x * h),
                            F.lit(0.0), lambda acc, v: acc + v)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(F.lit(f"{table}:"), *bits)
+    return bits
+
+
+def _lsh_signature(vec, dim: int, planes: int, table: int):
+    return F.concat(F.lit(f"{table}:"), *_lsh_bits(vec, dim, planes, table))
+
+
+def _multiprobe_signatures(vec, dim: int, planes: int, table: int) -> list:
+    """The exact signature plus every 1-bit-flipped variant
+    (query-side multiprobe: a near neighbor that disagrees on one
+    hyperplane still collides)."""
+    bits = _lsh_bits(vec, dim, planes, table)
+    flip = lambda b: F.when(b == "1", F.lit("0")).otherwise(F.lit("1"))
+    probes = [F.concat(F.lit(f"{table}:"), *bits)]
+    for i in range(planes):
+        probe_bits = [flip(b) if j == i else b for j, b in enumerate(bits)]
+        probes.append(F.concat(F.lit(f"{table}:"), *probe_bits))
+    return probes
 
 
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
-                    k: int = 5, planes: int = DEFAULT_PLANES,
+                    k: int = 5, planes: int = DEFAULT_LSH_PLANES,
                     tables: int = DEFAULT_TABLES,
                     dim: int | None = None,
                     id_col: str = "vec_id",
@@ -105,9 +130,12 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
     q = queries.select("q_id", F.col("q_vec").cast("array<double>"))
     e = e.withColumn("bucket", F.explode(F.array(*[
         _lsh_signature(F.col("v"), dim, planes, t) for t in range(tables)])))
-    q = q.withColumn("bucket", F.explode(F.array(*[
-        _lsh_signature(F.col("q_vec"), dim, planes, t)
-        for t in range(tables)])))
+    # corpus side: ONE bucket per table; query side (tiny, broadcast):
+    # multiprobe — exact + 1-bit-flip probes per table
+    probes = []
+    for t in range(tables):
+        probes.extend(_multiprobe_signatures(F.col("q_vec"), dim, planes, t))
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
     joined = e.join(F.broadcast(q), "bucket") \
         .filter(F.col("nbr_id") != F.col("q_id")) \
         .dropDuplicates(["q_id", "nbr_id"])

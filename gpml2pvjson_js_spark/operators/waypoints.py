@@ -68,7 +68,15 @@ def _synthesize_batch(batches: Iterable[pd.DataFrame]
 def synthesize_waypoints(edges: DataFrame,
                          max_rounds: int = MAX_ROUNDS) -> DataFrame:
     """edges (resolved, from resolve_edge_points) -> edges with
-    Elbow/Curved implicit waypoints made explicit."""
+    Elbow/Curved implicit waypoints made explicit.
+
+    The loop input is checkpointed UNCONDITIONALLY (independent of the
+    SPARK_GRAFT_STAGE_STORAGE fan-out mode): every round references
+    the edges frame several times, so an un-staged input would be
+    re-embedded ~4x per round and driver plan analysis goes
+    super-linear (observed: 25+ min of single-threaded analysis)."""
+    edges = edges.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     needs = edges.filter(F.col("draw_as").isin(*_CURVY))
     done = edges.filter(~F.col("draw_as").isin(*_CURVY))
 
