@@ -63,7 +63,7 @@ def run_kg_pipeline(spark, sf_dir: str) -> tuple[int, float]:
     return n, time.time() - t0
 
 
-def _kg_lazy(spark, sf_dir: str):
+def _kg_lazy(spark, sf_dir: str, replicate: int = 1):
     """Build the full pipeline DAG with NO driver-side actions
     (fixed CC rounds), so one count() captures all execution."""
     from gpml2pvjson_js_spark.corpus import pages_from_documents
@@ -77,6 +77,9 @@ def _kg_lazy(spark, sf_dir: str):
     from gpml2pvjson_js_spark.operators.triples import build_triples
 
     pages = pages_from_documents(spark, sf_dir)
+    if replicate > 1:
+        from gpml2pvjson_js_spark.corpus import replicate_pages
+        pages = replicate_pages(pages, replicate)
     model = build_document_model(spark, pages)
     inter = classify_interactions(model["edges"], model["nodes"])
     triples = build_triples(model, inter)
@@ -138,6 +141,9 @@ def main() -> dict:
     # (8 tasks/core at 32 cores = 256) with AQE coalescing shrinking
     # them at runtime when data is small. Measured: 64 partitions at
     # 32 cores overflowed per-task execution memory and anti-scaled.
+    scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+
     spark = get_spark(
         app_name="bench", master=f"local[{CPUS}]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE",
@@ -145,25 +151,27 @@ def main() -> dict:
     queries: dict[str, float] = {}
     tmp = tempfile.mkdtemp(prefix="kgbench_")
 
-    scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
-    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
     if scaling_only:
-        # warm codegen/python workers on a small pass (ser staging —
-        # the snapshot pipeline would pay minutes of per-stage plan
-        # analysis un-staged), then flip to the pure lazy DAG ("none",
-        # the multi-executor analog; BENCH/PLANS.md) for ONE timed
-        # count at full replication
+        # Protocol (root-cause history in BENCH/PLANS.md): the scaling
+        # pair runs the PRODUCTION path — the snapshot pipeline, the
+        # same job `tools/submit_job.py` ships via spark-submit — at a
+        # replication factor high enough that per-stage compute
+        # saturates the smaller level (measured: repl 32 leaves 8
+        # cores idle-equal with 32; repl 512 pins all cores). AQE
+        # stays ON here (per-stage plans are small, so its replanning
+        # is cheap and its skew splitting is wanted); a warmup pass at
+        # sf0.001 pays codegen + python-worker spinup first.
         run_pipeline_measured(spark, "/root/testdata/sf0.001",
                               f"{tmp}/warmup")
-        os.environ["SPARK_GRAFT_STAGE_STORAGE"] = "none"
-        n_lazy, lazy_sec = _lazy_probe(spark, SF_DIR, replicate)
-        queries["kg_lazy_exec"] = round(lazy_sec, 3)
-        queries["kg_lazy_triples_per_sec"] = (
-            round(n_lazy / lazy_sec, 2) if lazy_sec else 0.0)
+        n_snap, snap_sec, _ = run_pipeline_measured(
+            spark, SF_DIR, f"{tmp}/scale", replicate)
+        queries["kg_pipeline_exec"] = round(snap_sec, 3)
+        queries["kg_pipeline_triples_per_sec"] = (
+            round(n_snap / snap_sec, 2) if snap_sec else 0.0)
         return {"metric": "triples_per_sec",
-                "value": queries["kg_lazy_triples_per_sec"],
+                "value": queries["kg_pipeline_triples_per_sec"],
                 "unit": "sec", "queries": queries,
-                "sf": _sf_from_dir(SF_DIR), "n_triples": n_lazy,
+                "sf": _sf_from_dir(SF_DIR), "n_triples": n_snap,
                 "cpus": CPUS}
 
     # warmup: small corpus through the same plans — compiles codegen,
@@ -214,48 +222,64 @@ def scaling_report() -> None:
     """Run the KG pipeline at local[8] and local[32] in fresh
     subprocesses; write BENCH/BASELINE.md with scaling efficiency."""
     results = {}
-    replicate = os.environ.get("SPARK_GRAFT_REPLICATE", "64")
+    replicate = os.environ.get("SPARK_GRAFT_REPLICATE", "512")
     for cpus in (8, 32):
-        # the scaling pair runs the pure lazy DAG (stage storage
-        # "none"): on a multi-executor cluster there is no shared
-        # local block manager, so the lazy path is the honest analog;
-        # it is also the fastest 32-core configuration (BENCH/PLANS.md)
+        # IDENTICAL job + config at both levels (only threads vary):
+        # warmed snapshot-pipeline protocol, see main()'s
+        # scaling_only branch
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                    SPARK_GRAFT_SF_DIR=SF_DIR,
                    SPARK_GRAFT_REPLICATE=replicate,
                    SPARK_GRAFT_SCALING_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=3600)
+            env=env, capture_output=True, text=True, timeout=5400)
         line = [l for l in out.stdout.splitlines()
                 if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
     r8, r32 = results[8], results[32]
-    l8 = r8["queries"].get("kg_lazy_triples_per_sec", 0.0)
-    l32 = r32["queries"].get("kg_lazy_triples_per_sec", 0.0)
+    l8 = r8["queries"].get("kg_pipeline_triples_per_sec", 0.0)
+    l32 = r32["queries"].get("kg_pipeline_triples_per_sec", 0.0)
     eff = (l32 / l8) / 4 if l8 else 0.0
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH baseline (measured)
 
-End-to-end KG pipeline (pages -> canonical triples) on the
-deterministic corpus derived from `{SF_DIR}` documents
-(replicate factor {replicate}; both levels run the IDENTICAL job
-config -- shuffle_partitions=256 sized for the larger level, AQE
-partition coalescing on, stage storage "none" (pure lazy DAG, the
-multi-executor analog; see BENCH/PLANS.md) -- plus a JVM warmup pass,
-so the comparison varies compute threads only).
+End-to-end KG pipeline — the PRODUCTION snapshot path that
+`tools/submit_job.py` ships via spark-submit (pages -> parse ->
+document model -> classification -> triples -> linking ->
+canonicalization, per-stage parquet snapshots + lineage manifests) —
+on the deterministic corpus derived from `{SF_DIR}` documents,
+replicate factor {replicate}. Both levels run the IDENTICAL job and
+config (shuffle_partitions=256, AQE + skew-join splitting on) after
+an sf0.001 warmup pass, so only compute threads vary. Replication is
+sized so per-stage compute saturates the smaller level (measured:
+replicate 32 left local[8] and local[32] wall-equal at ~121 s — the
+job was orchestration-bound, not CPU-bound — so a scaling ratio there
+would be meaningless).
 
-| parallelism | triples | compute sec | triples/sec (compute) |
+| parallelism | triples | wall sec | triples/sec |
 |---|---|---|---|
-| local[8]  (N)  | {r8["n_triples"]} | {r8["queries"]["kg_lazy_exec"]} | {l8} |
-| local[32] (4N) | {r32["n_triples"]} | {r32["queries"]["kg_lazy_exec"]} | {l32} |
+| local[8]  (N)  | {r8["n_triples"]} | {r8["queries"]["kg_pipeline_exec"]} | {l8} |
+| local[32] (4N) | {r32["n_triples"]} | {r32["queries"]["kg_pipeline_exec"]} | {l32} |
 
 **Scaling efficiency (N -> 4N): {eff:.3f}**
 (target >= 0.8 per BASELINE.md; sandbox substitute for N vs 4N
-executors. Measured on the single lazy execution DAG — the snapshot
-pipeline's per-stage commit latency is parallelism-independent and is
-reported separately by the plain `bench.py` run.)
+executors — same input, 8 vs 32 compute threads.)
+
+Why earlier rounds were flat (full history in BENCH/PLANS.md):
+1. null-keyed left joins funneled every unattached point/ref into one
+   reducer (a single task ran minutes while 31 cores idled) — fixed
+   structurally: null-key rows bypass the shuffle
+   (`functions/skew.py:left_join_skipping_null_keys`);
+2. the un-staged megaplan paid AQE re-optimization at every
+   query-stage boundary (measured: one Catalyst transform thread
+   burning 440+ s) and ~0.5 s/task closure deserialization — the
+   staged pipeline's small per-stage plans avoid both;
+3. the waypoint loop re-staged the full edge corpus every round —
+   now only the per-round delta is staged;
+4. the benchmark corpus was too small: below ~100x replication the
+   pipeline is orchestration-bound and extra cores are invisible.
 
 Per-query seconds at local[32]:
 

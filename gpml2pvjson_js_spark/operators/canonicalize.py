@@ -39,11 +39,17 @@ _SER = StorageLevel.MEMORY_AND_DISK
 
 
 def _ranked(col: Column) -> Column:
-    """Rank-prefix an id so IRIs sort before mention keys."""
-    return F.concat(
-        F.when(col.startswith("http://") | col.startswith("https://"),
-               F.lit("0")).otherwise(F.lit("1")),
-        col)
+    """Rank-prefix an id so canonical IRIs sort before mention keys.
+
+    A scheme prefix alone does NOT discriminate: mention keys are
+    concat_ws('#', url, frag, id) and so start with http(s) too, and
+    on a low-sorting page domain a bare lexicographic min would make
+    the mention key the component representative. Mention keys always
+    contain '#'; BridgeDb-style canonical xref IRIs (identifiers.org)
+    never carry a fragment."""
+    is_iri = (col.startswith("http://") | col.startswith("https://")) \
+        & ~col.contains("#")
+    return F.concat(F.when(is_iri, F.lit("0")).otherwise(F.lit("1")), col)
 
 
 def _unranked(col: Column) -> Column:

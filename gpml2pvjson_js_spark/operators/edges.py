@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from .entities import DOC_KEY
 from ..functions import converters as C
 from ..functions.mappings import MARKER_MAPPINGS
+from ..functions.skew import left_join_skipping_null_keys
 
 _EDGE_NAMES = ("Interaction", "GraphicalLine")
 
@@ -139,11 +140,13 @@ def resolve_edge_points(edges: DataFrame, targets: DataFrame) -> DataFrame:
         *DOC_KEY, "id", F.posexplode("pts").alias("pos", "p")
     ).select(*DOC_KEY, "id", "pos", "p.*")
 
-    j = p.join(
-        t,
+    # most points are unattached (graph_ref NULL): they bypass the
+    # join instead of hashing into one straggler reducer
+    j = left_join_skipping_null_keys(
+        p, t,
         (p.url == t.t_url) & (p.frag == t.t_frag)
         & (p.graph_ref == t.t_id),
-        "left",
+        "graph_ref",
     )
 
     is_anchor = F.col("t_elem") == "Anchor"

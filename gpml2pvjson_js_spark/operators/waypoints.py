@@ -22,6 +22,7 @@ from pyspark.storagelevel import StorageLevel
 
 from .entities import DOC_KEY
 from ..functions.geometry import calculate_all_points
+from ..functions.skew import left_join_skipping_null_keys
 
 # hyperedge depth covered lazily (no driver actions): the deepest
 # chain in the reference golden corpus is depth 3
@@ -78,39 +79,55 @@ def synthesize_waypoints(edges: DataFrame,
     edges = edges.localCheckpoint(
         eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     needs = edges.filter(F.col("draw_as").isin(*_CURVY))
-    done = edges.filter(~F.col("draw_as").isin(*_CURVY))
+    rest = edges.filter(~F.col("draw_as").isin(*_CURVY))
 
     # which endpoint refs are edges (need referenced points)?
     edge_ids = edges.select(
         F.col("url").alias("e_url"), F.col("frag").alias("e_frag"),
         F.col("id").alias("e_id"))
 
+    # The loop state deliberately EXCLUDES the untouched majority:
+    # `rest` (straight edges — most of the corpus) is emitted once at
+    # the end and never re-staged. What carries between rounds is only
+    # (a) the narrow resolved-points pool (url, frag, id, points) that
+    # ready-tests and point-attachment join against, and (b) the
+    # shrinking `needs` set. (A previous version unioned every round's
+    # output into one growing full-width frame and re-checkpointed it
+    # per round — 4x full-corpus serialization, measured 15x slower at
+    # replicate-64.)
+    pool = rest.select(
+        F.col("url").alias("d_url"), F.col("frag").alias("d_frag"),
+        F.col("id").alias("d_id"), F.col("points").alias("d_points"))
+
     out_schema = edges.schema
+    fixed_parts: list[DataFrame] = []
     # NOTE: fixed rounds with NO driver-side actions — the whole stage
     # stays one lazy DAG (same rationale as the fixed-round CC mode in
     # canonicalize.py). Curvy-edge chains deeper than max_rounds pass
     # through unchanged (reference cycle tolerance).
     for _ in range(max_rounds):
-        done_ids = done.select(
-            F.col("url").alias("d_url"), F.col("frag").alias("d_frag"),
-            F.col("id").alias("d_id"))
-        # an edge is ready when each edge-typed endpoint ref is done
+        # an edge is ready when each edge-typed endpoint ref has
+        # resolved points in the pool
         refs = needs.select(*DOC_KEY, "id",
                             F.explode_outer("is_attached_to").alias("ref"))
-        refs = refs.join(
-            edge_ids,
+        # unattached refs (NULL — the majority) bypass both lookups
+        refs = left_join_skipping_null_keys(
+            refs, edge_ids,
             (refs.url == edge_ids.e_url) & (refs.frag == edge_ids.e_frag)
             & (refs.ref == edge_ids.e_id),
-            "left",
+            "ref",
         ).withColumn("ref_is_edge", F.col("e_id").isNotNull()) \
             .drop("e_url", "e_frag", "e_id")
-        refs = refs.join(
-            done_ids,
-            (refs.url == done_ids.d_url) & (refs.frag == done_ids.d_frag)
-            & (refs.ref == done_ids.d_id),
-            "left",
-        ).withColumn("ref_done", F.col("d_id").isNotNull()) \
-            .drop("d_url", "d_frag", "d_id")
+        pool_ids = pool.select(
+            F.col("d_url").alias("r_url"), F.col("d_frag").alias("r_frag"),
+            F.col("d_id").alias("r_id"))
+        refs = left_join_skipping_null_keys(
+            refs, pool_ids,
+            (refs.url == pool_ids.r_url) & (refs.frag == pool_ids.r_frag)
+            & (refs.ref == pool_ids.r_id),
+            "ref",
+        ).withColumn("ref_done", F.col("r_id").isNotNull()) \
+            .drop("r_url", "r_frag", "r_id")
         ready_ids = refs.groupBy(*DOC_KEY, "id").agg(
             F.min(F.when(F.col("ref_is_edge") & ~F.col("ref_done"), 0)
                   .otherwise(1)).alias("ready")
@@ -118,34 +135,44 @@ def synthesize_waypoints(edges: DataFrame,
 
         ready = needs.join(ready_ids, [*DOC_KEY, "id"], "left_semi")
         # attach referenced edge points for anchor-attached endpoints
-        dp = done.select(
-            F.col("url").alias("p_url"), F.col("frag").alias("p_frag"),
-            F.col("id").alias("p_id"), F.col("points").alias("p_points"))
-        ready2 = ready.join(
-            dp,
+        dp = pool.select(
+            F.col("d_url").alias("p_url"), F.col("d_frag").alias("p_frag"),
+            F.col("d_id").alias("p_id"),
+            F.col("d_points").alias("src_edge_points"))
+        ready2 = left_join_skipping_null_keys(
+            ready, dp,
             (ready.url == dp.p_url) & (ready.frag == dp.p_frag)
-            & (ready.endpoint_first_ref == dp.p_id), "left",
-        ).withColumnRenamed("p_points", "src_edge_points") \
-            .drop("p_url", "p_frag", "p_id")
-        dp2 = done.select(
-            F.col("url").alias("q_url"), F.col("frag").alias("q_frag"),
-            F.col("id").alias("q_id"), F.col("points").alias("q_points"))
-        ready2 = ready2.join(
-            dp2,
+            & (ready.endpoint_first_ref == dp.p_id),
+            "endpoint_first_ref",
+        ).drop("p_url", "p_frag", "p_id")
+        dp2 = pool.select(
+            F.col("d_url").alias("q_url"), F.col("d_frag").alias("q_frag"),
+            F.col("d_id").alias("q_id"),
+            F.col("d_points").alias("tgt_edge_points"))
+        ready2 = left_join_skipping_null_keys(
+            ready2, dp2,
             (ready2.url == dp2.q_url) & (ready2.frag == dp2.q_frag)
-            & (ready2.endpoint_last_ref == dp2.q_id), "left",
-        ).withColumnRenamed("q_points", "tgt_edge_points") \
-            .drop("q_url", "q_frag", "q_id")
+            & (ready2.endpoint_last_ref == dp2.q_id),
+            "endpoint_last_ref",
+        ).drop("q_url", "q_frag", "q_id")
 
-        fixed = ready2.mapInPandas(_synthesize_batch, out_schema)
-        # iterative lineage: checkpoint each round (SERIALIZED blocks —
-        # deserialized storage measured to GC-thrash at high
-        # parallelism) so round k+1's plan doesn't nest round k's
-        done = done.unionByName(fixed).localCheckpoint(
-            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        # checkpoint ONLY this round's newly-fixed rows (small) — cuts
+        # the iterative lineage without restaging the whole corpus;
+        # SERIALIZED blocks (deserialized storage measured to
+        # GC-thrash at high parallelism)
+        fixed = ready2.mapInPandas(_synthesize_batch, out_schema) \
+            .localCheckpoint(eager=False,
+                             storageLevel=StorageLevel.MEMORY_AND_DISK)
+        fixed_parts.append(fixed)
+        pool = pool.unionByName(fixed.select(
+            F.col("url").alias("d_url"), F.col("frag").alias("d_frag"),
+            F.col("id").alias("d_id"), F.col("points").alias("d_points")))
         needs = needs.join(ready_ids, [*DOC_KEY, "id"], "left_anti") \
             .localCheckpoint(eager=False,
                              storageLevel=StorageLevel.MEMORY_AND_DISK)
 
+    out = rest
+    for part in fixed_parts:
+        out = out.unionByName(part)
     # cycle tolerance: anything never ready passes through unchanged
-    return done.unionByName(needs)
+    return out.unionByName(needs)

@@ -151,79 +151,106 @@ class Pipeline:
             return self.store.read(self.spark, name)
         return self.store.commit(build(), name)
 
-    def run(self, resume: bool = True) -> dict[str, DataFrame]:
-        spark, pages, store = self.spark, self.pages, self.store
+    def run(self, resume: bool = True,
+            max_workers: int | None = None) -> dict[str, DataFrame]:
+        """Execute the stage DAG CONCURRENTLY: a stage is submitted the
+        moment its dependencies are committed, on a small thread pool.
+
+        Why threads on the driver: each stage commit has two serial
+        phases — driver-side analysis/optimization/codegen (single
+        JVM thread per plan; the wide entity projection alone costs
+        tens of seconds regardless of cluster size) and cluster
+        execution. Running independent stages on separate submitter
+        threads overlaps stage A's planning with stage B's execution,
+        which is exactly what removed the parallelism-independent
+        serial fraction that capped N->4N scaling efficiency at ~0.5
+        (BENCH/PLANS.md round-2 final). Spark job submission and
+        Catalyst are thread-safe; snapshots land in per-stage dirs.
+        """
+        import os as _os
+        import threading
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+        from concurrent.futures import wait as futures_wait
+
+        spark, pages = self.spark, self.pages
         out: dict[str, DataFrame] = {}
+        max_workers = max_workers or int(
+            _os.environ.get("SPARK_GRAFT_PIPELINE_WORKERS", "4"))
 
-        # stage 1: parse — the most expensive stage, executed EXACTLY
-        # once. The "mentions" snapshot holds the UNFILTERED parse
-        # output (ok + quarantined rows); the quarantine stage and the
-        # downstream model both derive from the committed snapshot by
-        # filtering (predicate pushes down to the parquet scan), so a
-        # fresh run never pays a second pass over raw pages.
-        parsed_all = self._stage("mentions", lambda: parse_gpml(pages),
-                                 resume)
-        out["mentions"] = parsed_all.filter(
-            F.col("gpml_element_name") != "_error")
-        out["quarantine"] = self._stage(
-            "quarantine",
-            lambda: parsed_all.filter(
-                F.col("gpml_element_name") == "_error"),
-            resume)
-
-        # stage 2: document model (reads committed mentions snapshot)
+        # The "mentions" snapshot holds the UNFILTERED parse output
+        # (ok + quarantined rows); quarantine and the model derive
+        # from the committed snapshot by filters (pushed down to the
+        # parquet scan), so a run never re-parses raw pages.
+        parsed_holder: dict = {}
         model_cache: dict = {}
+        model_lock = threading.Lock()
 
         def model() -> dict:
-            if not model_cache:
-                model_cache.update(build_document_model(
-                    spark, pages, mentions=parsed_all))
-            return model_cache
+            with model_lock:
+                if not model_cache:
+                    model_cache.update(build_document_model(
+                        spark, pages, mentions=parsed_holder["df"]))
+                return model_cache
 
-        for name in ["nodes", "edges", "citations", "vocabularies",
-                     "pathways"]:
-            out[name] = self._stage(name, lambda n=name: model()[n], resume)
-
-        # stage 3: interaction classification
-        out["interactions"] = self._stage(
-            "interactions",
-            lambda: classify_interactions(out["edges"], out["nodes"]),
-            resume)
-
-        # stage 4: triples
-        out["triples"] = self._stage(
-            "triples",
-            lambda: build_triples(
-                {k: out[k] for k in
-                 ["nodes", "edges", "citations", "vocabularies",
-                  "pathways"]},
-                out["interactions"]),
-            resume)
-
-        # stage 5: linking + canonicalization
         xd = xref_dictionary(spark)
-        out["linked"] = self._stage(
-            "linked", lambda: link_entities(out["nodes"], xd), resume)
-        out["canonical_triples"] = self._stage(
-            "canonical_triples",
-            lambda: rewrite_triples(
-                out["triples"],
-                canonical_map(out["linked"], same_as_edges(out["linked"], xd))),
-            resume)
+        MODEL5 = ["nodes", "edges", "citations", "vocabularies",
+                  "pathways"]
 
-        # stage 6: JSON-LD documents (NDJSON-ready, S5/JS1/JS2)
-        out["documents"] = self._stage(
-            "documents",
-            lambda: __import__(
+        builds: dict[str, tuple[list, object]] = {
+            "mentions": ([], lambda: parse_gpml(pages)),
+            "quarantine": (["mentions"], lambda: parsed_holder["df"]
+                           .filter(F.col("gpml_element_name") == "_error")),
+            **{name: (["mentions"], lambda n=name: model()[n])
+               for name in MODEL5},
+            "interactions": (["edges", "nodes"], lambda:
+                             classify_interactions(out["edges"],
+                                                   out["nodes"])),
+            "triples": (MODEL5 + ["interactions"], lambda:
+                        build_triples({k: out[k] for k in MODEL5},
+                                      out["interactions"])),
+            "linked": (["nodes"], lambda: link_entities(out["nodes"],
+                                                        xd)),
+            "canonical_triples": (["triples", "linked"], lambda:
+                                  rewrite_triples(
+                                      out["triples"],
+                                      canonical_map(
+                                          out["linked"],
+                                          same_as_edges(out["linked"],
+                                                        xd)))),
+            # JSON-LD documents (NDJSON-ready, S5/JS1/JS2)
+            "documents": (list(MODEL5), lambda: __import__(
                 "gpml2pvjson_js_spark.operators.export",
                 fromlist=["jsonld_documents"]).jsonld_documents(
-                {k: out[k] for k in ["nodes", "edges", "citations",
-                                     "vocabularies", "pathways"]}),
-            resume)
+                {k: out[k] for k in MODEL5})),
+            # per-url extracted text (the byte-identical invariant)
+            "text": ([], lambda: extracted_text(pages)),
+        }
 
-        # stage 7: per-url extracted text (the byte-identical invariant)
-        out["text"] = self._stage(
-            "text", lambda: extracted_text(pages), resume)
+        done: set[str] = set()
+        futures: dict[str, object] = {}
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            while len(done) < len(builds):
+                for name, (deps, build) in builds.items():
+                    if name in done or name in futures:
+                        continue
+                    if all(d in done for d in deps):
+                        futures[name] = ex.submit(
+                            self._stage, name, build, resume)
+                if not futures:
+                    raise RuntimeError("pipeline stage deadlock")
+                futures_wait(list(futures.values()),
+                             return_when=FIRST_COMPLETED)
+                for name, fut in list(futures.items()):
+                    if fut.done():
+                        df = fut.result()  # re-raises stage failures
+                        if name == "mentions":
+                            parsed_holder["df"] = df
+                            out["mentions"] = df.filter(
+                                F.col("gpml_element_name") != "_error")
+                        else:
+                            out[name] = df
+                        done.add(name)
+                        del futures[name]
         return out
 
     def metrics(self) -> dict:

@@ -141,6 +141,21 @@ def test_connected_components_merges_alias(spark):
     assert comp["x"] == comp["y"] == "x"
 
 
+def test_component_rep_prefers_iri_over_hot_domain_mention(spark):
+    """A mention key on a domain that sorts BEFORE identifiers.org
+    (e.g. a.example) must still lose to the canonical IRI: mention
+    keys (url#frag#id) start with https too, so the representative
+    choice cannot be a bare lexicographic min."""
+    mention = "https://a.example/page#0#m1"
+    iri = "https://identifiers.org/ncbigene/207"
+    edges = spark.createDataFrame(
+        [(mention, iri)], "src string, dst string")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp[mention] == iri
+    assert comp[iri] == iri
+
+
 def test_canonical_rewrite_preserves_counts(spark, model, triples):
     xd = xref_dictionary(spark)
     linked = link_entities(model["nodes"], xd)
