@@ -331,6 +331,42 @@ def q_multimodal_features(spark, sf_dir):
                         lambda a, v: a + v), 4).alias("feature_sum"))
 
 
+def _skewed_domains(spark, sf_dir):
+    """Zipf-skewed derived domain key over documents: ~90% of rows
+    share one hot domain (the hot-domain shape the north rule's skew
+    clause targets)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 9, F.lit("hot.example"))
+        .otherwise(F.concat(F.lit("site"),
+                            (F.col("doc_id") % 7).cast("string")))
+        .alias("domain"),
+        "n_chars")
+
+
+def q_skew_salted_join(spark, sf_dir):
+    """Salted hot-key join (functions/skew.py): identical results to a
+    plain equi-join — the salt only changes physical placement. The
+    oracle runs the UNSALTED join; value-hash equality IS the
+    correctness claim."""
+    from gpml2pvjson_js_spark.functions.skew import salted_join
+    big = _skewed_domains(spark, sf_dir)
+    dim = big.select("domain").distinct() \
+        .withColumn("tag", F.upper(F.col("domain")))
+    return salted_join(big, dim, "domain") \
+        .select("doc_id", "domain", "n_chars", "tag")
+
+
+def q_skew_salted_repartition(spark, sf_dir):
+    """salted_repartition is content-preserving: same rows, spread
+    over (key, salt) partitions so the hot domain cannot funnel into
+    one task."""
+    from gpml2pvjson_js_spark.functions.skew import salted_repartition
+    big = _skewed_domains(spark, sf_dir)
+    return salted_repartition(big, ["domain"], n_salts=16)
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (GPML -> triples; non-SQL-expressible: DuckDB has
 # no GPML parser, so these get rows-only checks)
@@ -453,6 +489,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "multimodal_features": q_multimodal_features,
+        # skew handling (salting: same values as unsalted oracle)
+        "skew_salted_join": q_skew_salted_join,
+        "skew_salted_repartition": q_skew_salted_repartition,
         # KG construction pipeline (rows-only; no SQL oracle can parse
         # GPML)
         "kg_mentions": kg_mentions,
@@ -664,5 +703,28 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cos DESC, nbr_id) AS rank
                   FROM c)
             WHERE rank <= 5
+        """,
+        # the salted variants must produce EXACTLY the unsalted
+        # relational result — the salt is physical-plan-only
+        "skew_salted_join": """
+            WITH big AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 9 THEN 'hot.example'
+                          ELSE 'site' || CAST(doc_id % 7 AS VARCHAR)
+                     END AS domain,
+                     n_chars
+              FROM documents),
+            dim AS (SELECT DISTINCT domain, upper(domain) AS tag
+                    FROM big)
+            SELECT b.doc_id, b.domain, b.n_chars, d.tag
+            FROM big b JOIN dim d USING (domain)
+        """,
+        "skew_salted_repartition": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 < 9 THEN 'hot.example'
+                        ELSE 'site' || CAST(doc_id % 7 AS VARCHAR)
+                   END AS domain,
+                   n_chars
+            FROM documents
         """,
     }
