@@ -87,7 +87,18 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     """Equi-join `big` (skewed key distribution) with `small`
     (dimension-sized) on `key`, salted so a hot key occupies n_salts
     tasks. The small side is replicated n_salts times driver-free via
-    a range crossJoin (stays broadcastable at n_salts * |small|)."""
+    a range crossJoin (stays broadcastable at n_salts * |small|).
+
+    Only big-side-preserving joins are valid: the replicated small
+    side would emit each UNMATCHED small-side row n_salts times under
+    right/full/right_semi semantics."""
+    valid = {"inner", "left", "left_outer", "leftouter",
+             "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in valid:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the small side is "
+            f"replicated {n_salts}x, so only big-side-preserving joins "
+            f"({sorted(valid)}) produce correct results")
     fine = [c for c in big.columns if c != key]
     b = big.withColumn("__salt", salt_column(fine, n_salts))
     replicas = small.sparkSession.range(n_salts) \

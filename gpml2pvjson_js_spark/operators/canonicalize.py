@@ -85,10 +85,13 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS,
             F.least(F.col("lbl"),
                     F.coalesce(F.col("nbr_min"), F.col("lbl"))).alias("lbl"),
         )
-        # (b) double: label of my label's node (path shortcut)
-        parent = hopped.select(_unranked(F.col("lbl")).alias("p_id"),
-                               F.col("lbl").alias("p_lbl")) \
-            .groupBy("p_id").agg(F.min("p_lbl").alias("p_min"))
+        # (b) double: label of my label's node (path shortcut).
+        # The lookup MUST be keyed by node id (id -> lbl is unique, no
+        # groupBy needed): joining unranked(lbl) == id returns
+        # lbl[lbl[i]] — true pointer doubling. Keying by unranked(lbl)
+        # instead would return the row's own label (a no-op shortcut).
+        parent = hopped.select(F.col("id").alias("p_id"),
+                               F.col("lbl").alias("p_min"))
         new_labels = hopped.join(
             parent, _unranked(hopped.lbl) == parent.p_id, "left",
         ).select(

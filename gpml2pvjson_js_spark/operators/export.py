@@ -207,6 +207,10 @@ def jsonld_documents(model: dict) -> DataFrame:
     # the fixed 5-char prefix and 1-char suffix stripped
     key_json = F.to_json(F.struct(F.col("id").alias("k")))
     escaped_key = key_json.substr(F.lit(6), F.length(key_json) - 6)
+    # to_json omits null fields ("{}" -> empty key -> ':{...}' corrupt
+    # entry); drop null-id rows instead, matching the pre-to_json
+    # behavior where concat returned NULL and collect_list skipped it
+    ents = ents.filter(F.col("id").isNotNull())
     per_doc = ents.groupBy(*DOC_KEY).agg(
         F.concat_ws(",", F.collect_list(
             F.concat(escaped_key, F.lit(":"),

@@ -141,6 +141,21 @@ def test_connected_components_merges_alias(spark):
     assert comp["x"] == comp["y"] == "x"
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 101-node chain (diameter 100 >> MAX_ROUNDS=6) converges only
+    if the label-of-label shortcut is true pointer doubling
+    (reach after k rounds of hop+double: r_k = 2*(r_{k-1}+1) -> 126 at
+    k=6). Guards the ADVICE-flagged regression where the parent lookup
+    keyed by labels made the shortcut a no-op."""
+    ids = [f"n{i:03d}" for i in range(101)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(100)], "src string, dst string")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {"n000"}
+    assert len(comp) == 101
+
+
 def test_component_rep_prefers_iri_over_hot_domain_mention(spark):
     """A mention key on a domain that sorts BEFORE identifiers.org
     (e.g. a.example) must still lose to the canonical IRI: mention

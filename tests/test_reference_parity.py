@@ -37,8 +37,8 @@ def test_rotation_only_feeds_text_rotation(model):
     unswapped and x/y = center - extent/2 (the reference applies no
     affine transform); textRotation = -rotation."""
     from tests.conftest import rows_by_id
-    rows = rows_by_id(model["nodes"], "/styled/")
+    rows = rows_by_id(model["nodes"], "/shapes-labels/")
     rotated = [r for r in rows.values() if r.get("rotation")]
-    assert rotated, "styled fixture should contain a rotated shape"
+    assert rotated, "shapes-labels fixture should contain a rotated shape"
     for r in rotated:
         assert r["text_rotation"] == -r["rotation"]

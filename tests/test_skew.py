@@ -69,6 +69,16 @@ def test_salted_left_join_keeps_unmatched(spark, hot_df):
         hot_df.filter(F.col("domain") != "hot.example").count()
 
 
+def test_salted_join_rejects_small_side_preserving_how(spark, hot_df):
+    """right/full would emit each unmatched small-side row n_salts
+    times (the small side is replicated); the guard must refuse."""
+    dim = spark.createDataFrame([("hot.example", "H")],
+                                ["domain", "tag"])
+    for how in ("right", "full", "outer", "right_outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(hot_df, dim, "domain", how=how)
+
+
 def test_salt_column_range(spark, hot_df):
     vals = {r[0] for r in hot_df
             .select(salt_column(["row_id"], 8)).distinct().collect()}
