@@ -689,6 +689,33 @@ def oracle_sql() -> dict[str, str]:
                                          'g')) AS fp_sha256
             FROM documents
         """,
+        # brute-force all-pairs shingle Jaccard: the LSH output must
+        # EQUAL this set (that is the recall claim; band config is
+        # sized so candidate-miss probability at j>=0.8 is ~3e-4)
+        "minhash_lsh_pairs": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([
+                        array_to_string(w[i+1:i+3], ' ')
+                        FOR i IN range(0, greatest(len(w)-3, 0)+1)
+                     ]) AS shingles
+              FROM (SELECT doc_id,
+                           string_split(regexp_replace(lower(trim(text)),
+                                                       '\\s+', ' ', 'g'),
+                                        ' ') AS w
+                    FROM documents)
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   round(CAST(len(list_intersect(x.shingles, y.shingles))
+                              AS DOUBLE)
+                         / len(list_distinct(x.shingles || y.shingles)),
+                         4) AS jaccard
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles))
+                       AS DOUBLE)
+                  / greatest(len(list_distinct(x.shingles || y.shingles)),
+                             1) >= 0.8
+        """,
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS q_id,
                               CAST(embedding AS DOUBLE[]) AS q_vec

@@ -14,25 +14,39 @@ All variants are expressed so the hot path stays JVM-side:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# 16 perms in 8 bands of 2 rows: candidate probability at the j=0.8
+# verify threshold is 1-(1-j^2)^8 = 0.9997 (4 bands of 4 rows had an
+# 0.88 recall cliff — the DuckDB all-pairs oracle caught the miss).
+# Narrower bands admit more moderate-similarity candidates; the exact
+# verify join filters them, and at larger corpus scale raise num_perm
+# and rows_per_band together to push selectivity back up.
 DEFAULT_MINHASH_PERMS = 16
-DEFAULT_BANDS = 4
+DEFAULT_BANDS = 8
 
 
 def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+MAX_DUP_IDS = 1000
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """(hash, doc_ids, keep): exact dedup by content hash; keeper =
-    min id (deterministic)."""
+                     text_col: str = "text",
+                     max_ids: int = MAX_DUP_IDS) -> DataFrame:
+    """(hash, doc_ids, keep, n): exact dedup by content hash; keeper =
+    min id (deterministic). doc_ids is capped at max_ids — a
+    degenerate cluster (e.g. billions of empty docs) must not build
+    one giant array row; `n` always carries the true count."""
     h = docs.select(F.col(id_col).alias("doc_id"),
                     F.sha2(normalize_text(F.col(text_col)), 256).alias("h"))
     return h.groupBy("h").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        F.slice(F.sort_array(F.collect_list("doc_id")),
+                1, max_ids).alias("doc_ids"),
         F.min("doc_id").alias("keep"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -40,46 +54,118 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
-    """Keep one representative per identical (normalized) text."""
-    w = Window.partitionBy("h").orderBy("doc_id")
+    """Keep one representative per identical (normalized) text.
+
+    groupBy-min + semi-join, NOT a per-hash window: a window puts
+    every row of a hash into one sorted task partition, so a billion
+    identical docs would land on one straggler; the groupBy-min is
+    map-side combinable and the semi-join shuffles only (h, id)."""
     h = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col),
                     F.sha2(normalize_text(F.col(text_col)), 256).alias("h"))
-    return h.withColumn("rn", F.row_number().over(w)) \
-        .filter(F.col("rn") == 1).drop("rn", "h")
+    keep = h.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return h.join(keep, ["h", "doc_id"], "left_semi").drop("h")
+
+
+def _shingles_udf(n: int = 3):
+    """word n-gram shingles as an Arrow-batched UDF.
+
+    The Catalyst form (sequence -> transform(slice + concat_ws) ->
+    array_distinct) runs the transform lambda INTERPRETED per shingle
+    — measured 9.2 s of the 10.8 s minhash wall at sf0.1 — while the
+    Python loop over a whole Arrow batch is ~0.3 s. Semantics match
+    the old expression exactly (ASCII whitespace like Java \\s, slice
+    clamped at the tail, first-occurrence-order distinct) so the
+    DuckDB all-pairs oracle still byte-matches."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @pandas_udf("array<string>")
+    def shingles(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            norm = ws.sub(" ", (t or "").strip(" \t\n\x0b\f\r")).lower()
+            toks = norm.split(" ")
+            upper = max(len(toks) - n, 0) + 1
+            out.append(list(dict.fromkeys(
+                " ".join(toks[i:i + n]) for i in range(upper))))
+        return pd.Series(out)
+
+    return shingles
 
 
 def _shingles(text_col, n: int = 3):
-    """word n-gram shingles as an array column (JVM-side)."""
-    toks = F.split(normalize_text(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    return _shingles_udf(n)(text_col)
+
+
+def _shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       _shingles(F.col(text_col)).alias("shingles"))
+
+
+def _sig_df(sh: DataFrame,
+            num_perm: int = DEFAULT_MINHASH_PERMS) -> DataFrame:
+    """(doc_id, sig: array<long>) for docs with >= 1 shingle.
+
+    Expressed as explode -> num_perm codegen'd xxhash64(shingle, k)
+    columns -> groupBy-min (map-side combinable): the whole signature
+    stays in whole-stage codegen. The previous form — num_perm
+    array_min(transform(...)) folds — ran interpreted per element
+    (and its 2-arg `lambda s, k=k` silently received the array INDEX
+    as k from F.transform, so every perm hashed with the same seed;
+    the DuckDB all-pairs oracle caught a j=0.99 pair with 0/16 equal
+    minhashes). Empty-shingle docs drop out here, which also removes
+    the degenerate all-empty-docs band bucket."""
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    hashed = ex.select("doc_id", *[
+        F.xxhash64("s", F.lit(k)).alias(f"h{k}") for k in range(num_perm)])
+    agg = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{k}").alias(f"h{k}") for k in range(num_perm)])
+    return agg.select("doc_id", F.array(
+        *[F.col(f"h{k}") for k in range(num_perm)]).alias("sig"))
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        num_perm: int = DEFAULT_MINHASH_PERMS) -> DataFrame:
     """(doc_id, shingles, sig: array<long>): K minhash values, each the
-    min over xxhash64(shingle, seed=k)."""
-    d = docs.select(F.col(id_col).alias("doc_id"),
-                    _shingles(F.col(text_col)).alias("shingles"))
-    sig = F.array(*[
-        F.array_min(F.transform(
-            "shingles", lambda s, k=k: F.xxhash64(s, F.lit(k))))
-        for k in range(num_perm)
-    ])
-    return d.withColumn("sig", sig)
+    min over xxhash64(shingle, seed=k); sig is null for empty docs."""
+    sh = _shingle_df(docs, id_col, text_col)
+    return sh.join(_sig_df(sh, num_perm), "doc_id", "left")
+
+
+def _drop_hot_buckets(banded: DataFrame, keys: list[str],
+                      max_bucket: int | None) -> DataFrame:
+    """Drop buckets with > max_bucket members before a self-join: a
+    hot bucket contributes O(|bucket|^2) candidate pairs, so one
+    boilerplate-heavy bucket at web scale is THE straggler. Members of
+    a bucket that large are boilerplate near-identical anyway — exact
+    dedup catches them; near-dup semantics lose nothing useful."""
+    if max_bucket is None:
+        return banded
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
+    small = sizes.filter(F.col("__bn") <= max_bucket).drop("__bn")
+    return banded.join(small, keys, "left_semi")
 
 
 def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       num_perm: int = DEFAULT_MINHASH_PERMS,
                       bands: int = DEFAULT_BANDS,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs via band-bucket join, verified with true shingle
-    Jaccard. Returns (a, b, jaccard) with a < b, jaccard >= threshold."""
+    Jaccard. Returns (a, b, jaccard) with a < b, jaccard >= threshold.
+
+    max_bucket (the scale knob) drops band buckets larger than the cap
+    before the self-join — None keeps exact oracle equality; at web
+    scale set it (e.g. 10_000) to bound the quadratic pair blowup of
+    boilerplate-dominated buckets."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm)
+    sh = _shingle_df(docs, id_col, text_col)
+    sigs = _sig_df(sh, num_perm)
     # band-bucket self-join carries ONLY (doc_id, band, bucket) — at
     # corpus scale the candidate-generation shuffle must not move
     # document content; shingles are re-attached to the (small)
@@ -94,12 +180,12 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             for b in range(bands)
         ])).alias("band", "bucket"),
     )
+    banded = _drop_hot_buckets(banded, ["band", "bucket"], max_bucket)
     left = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     cand = left.join(right, ["band", "bucket"]) \
         .filter(F.col("a") < F.col("b")) \
         .select("a", "b").dropDuplicates(["a", "b"])
-    sh = sigs.select("doc_id", "shingles")
     cand = cand.join(
         sh.select(F.col("doc_id").alias("a"),
                   F.col("shingles").alias("sh_a")), "a") \
@@ -144,9 +230,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
-                            band_bits: int = 16) -> DataFrame:
+                            band_bits: int = 16,
+                            max_bucket: int | None = None) -> DataFrame:
     """Near-dup candidates = docs sharing a 16-bit simhash band
-    (Hamming-block blocking), verified by Hamming distance <= 3."""
+    (Hamming-block blocking), verified by Hamming distance <= 3.
+    max_bucket: see minhash_lsh_pairs — bounds hot-band blowup."""
     s = simhash(docs, id_col, text_col)
     bands = F.array(*[
         F.concat(F.lit(f"{i}:"),
@@ -155,6 +243,7 @@ def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
         for i in range(64 // band_bits)
     ])
     e = s.select("doc_id", "simhash", F.explode(bands).alias("bucket"))
+    e = _drop_hot_buckets(e, ["bucket"], max_bucket)
     l = e.select(F.col("doc_id").alias("a"),
                  F.col("simhash").alias("h_a"), "bucket")
     r = e.select(F.col("doc_id").alias("b"),

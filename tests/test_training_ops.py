@@ -5,8 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from gpml2pvjson_js_spark.operators.dedup import (
-    dedup_exact, exact_duplicates, minhash_lsh_pairs, simhash,
-    simhash_near_duplicates)
+    dedup_exact, exact_duplicates, minhash_lsh_pairs,
+    minhash_signatures, simhash, simhash_near_duplicates)
 from gpml2pvjson_js_spark.operators.multimodal import (
     FEATURE_DIM, extract_features, frame_sample_plan, synthesize_media)
 from gpml2pvjson_js_spark.operators.similarity import (
@@ -45,6 +45,43 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (1, 3) in pairs or (2, 3) in pairs  # near-dup found
     assert all(a < b for a, b in pairs)
     assert (4, 5) not in pairs
+
+
+def test_minhash_lsh_equals_bruteforce_oracle(spark):
+    """LSH pair set == brute-force all-pairs shingle Jaccard >= 0.8
+    (DuckDB) on the sf0.001 documents table — the recall contract.
+    Also guards the transform-lambda seed bug: a 2-arg lambda receives
+    the array INDEX, not the closure value, making every perm
+    identical position-dependent garbage."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    srows = sorted(
+        tuple(r) for r in entry.queries()["minhash_lsh_pairs"](spark, sf)
+        .select("a", "b", "jaccard").collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM '{sf}/documents.parquet'")
+    orows = sorted(
+        tuple(r)
+        for r in con.sql(entry.oracle_sql()["minhash_lsh_pairs"]).fetchall())
+    assert srows == orows
+    assert len(srows) > 0
+
+
+def test_minhash_perm_seeds_are_distinct(spark):
+    """Each of the 16 minhash perms must use a distinct seed: for a
+    multi-shingle doc the 16 signature values should not all collide
+    (they did when the seed was silently replaced by the array
+    index)."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and "
+             "again and once more for good measure", "en")],
+        "doc_id long, text string, lang string")
+    sig = minhash_signatures(docs).collect()[0]["sig"]
+    assert len(set(sig)) > 8
 
 
 def test_simhash_near_duplicates(docs):
@@ -100,6 +137,26 @@ def test_ann_lsh_recall_on_testdata(spark):
                for qid in by_q_exact)
     total = sum(len(s) for s in by_q_exact.values())
     assert hits / total >= 0.9, f"corpus LSH recall {hits/total} < 0.9"
+
+
+def test_hot_bucket_cap_and_doc_ids_cap(spark):
+    """Scale guards: max_bucket drops a boilerplate-heavy bucket from
+    the band self-join; exact_duplicates caps the doc_ids array while
+    n keeps the true count."""
+    rows = [(i, "exactly the same boilerplate text repeated here",
+             "en") for i in range(20)]
+    rows += [(100, "a unique document about salted joins", "en"),
+             (101, "a unique document about salted joins", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # uncapped: the 20-dup cluster produces pairs; capped at 5: gone,
+    # small cluster survives
+    capped = minhash_lsh_pairs(docs, threshold=0.8, max_bucket=5).collect()
+    pairs = {(r["a"], r["b"]) for r in capped}
+    assert (100, 101) in pairs
+    assert not any(a < 20 and b < 20 for a, b in pairs)
+    dup = exact_duplicates(docs, max_ids=5).filter(F.col("n") == 20).collect()
+    assert len(dup) == 1
+    assert len(dup[0]["doc_ids"]) == 5 and dup[0]["keep"] == 0
 
 
 def test_lsh_prunes_clustered_corpus():
