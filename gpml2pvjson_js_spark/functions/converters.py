@@ -133,11 +133,30 @@ def html_unescape(col: Column) -> Column:
     return c
 
 
+# JS encodeURI keeps exactly A-Za-z0-9 ; , / ? : @ & = + $ - _ . ! ~
+# * ' ( ) # and percent-encodes everything else as uppercase UTF-8.
+# Java's URLEncoder (F.url_encode) keeps A-Za-z0-9 . - * _ , maps
+# space to '+', and encodes the rest — so the delta is a FIXED set of
+# literal rewrites. Order matters: '+' (space) must become %20 before
+# %2B is restored to '+'.
+_URL_ENCODE_FIXUPS = [
+    ("+", "%20"),
+    # unreserved in JS, encoded by Java
+    ("%21", "!"), ("%7E", "~"), ("%27", "'"), ("%28", "("),
+    ("%29", ")"),
+    # reserved set kept by encodeURI
+    ("%3B", ";"), ("%2F", "/"), ("%3F", "?"), ("%3A", ":"),
+    ("%40", "@"), ("%26", "&"), ("%3D", "="), ("%2B", "+"),
+    ("%24", "$"), ("%2C", ","), ("%23", "#"),
+]
+
+
 def encode_uri(col: Column) -> Column:
-    """JS encodeURI approximation for Href values: escape spaces and
-    double quotes (GPML hrefs are otherwise URL-shaped already)."""
-    c = F.regexp_replace(col, " ", "%20")
-    c = F.regexp_replace(c, '"', "%22")
+    """JS encodeURI for Href values (ref: src/2013a/ValueConverters.ts
+    :308-311), as a JVM-side url_encode plus literal fixups."""
+    c = F.url_encode(col)
+    for frm, to in _URL_ENCODE_FIXUPS:
+        c = F.replace(c, F.lit(frm), F.lit(to))
     return c
 
 

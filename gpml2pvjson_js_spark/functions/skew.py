@@ -81,13 +81,22 @@ def left_join_skipping_null_keys(left: DataFrame, right: DataFrame,
     return matched.unionByName(passthrough)
 
 
-def salted_join(big: DataFrame, small: DataFrame, key: str,
+def salted_join(big: DataFrame, small: DataFrame,
+                key: str | list[str],
                 how: str = "inner",
-                n_salts: int = DEFAULT_SALTS) -> DataFrame:
-    """Equi-join `big` (skewed key distribution) with `small`
-    (dimension-sized) on `key`, salted so a hot key occupies n_salts
+                n_salts: int = DEFAULT_SALTS,
+                broadcast_small: bool = True) -> DataFrame:
+    """Equi-join `big` (skewed key distribution) with `small` on
+    `key` (one name or a list), salted so a hot key occupies n_salts
     tasks. The small side is replicated n_salts times driver-free via
-    a range crossJoin (stays broadcastable at n_salts * |small|).
+    a range crossJoin.
+
+    broadcast_small=True (dimension-sized small side): the replicated
+    dict stays broadcastable at n_salts * |small|. broadcast_small=
+    False (small side ABOVE the broadcast threshold, e.g. a full xref
+    dictionary): both sides shuffle on (key..., __salt) — the salt
+    still spreads each hot key over n_salts reducers, which a plain
+    key-partitioned shuffle join cannot do.
 
     Only big-side-preserving joins are valid: the replicated small
     side would emit each UNMATCHED small-side row n_salts times under
@@ -99,9 +108,12 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
             f"salted_join: how={how!r} unsupported — the small side is "
             f"replicated {n_salts}x, so only big-side-preserving joins "
             f"({sorted(valid)}) produce correct results")
-    fine = [c for c in big.columns if c != key]
+    keys = [key] if isinstance(key, str) else list(key)
+    fine = [c for c in big.columns if c not in keys]
     b = big.withColumn("__salt", salt_column(fine, n_salts))
     replicas = small.sparkSession.range(n_salts) \
         .select(F.col("id").cast("int").alias("__salt"))
     s = small.crossJoin(F.broadcast(replicas))
-    return b.join(F.broadcast(s), [key, "__salt"], how).drop("__salt")
+    if broadcast_small:
+        s = F.broadcast(s)
+    return b.join(s, keys + ["__salt"], how).drop("__salt")

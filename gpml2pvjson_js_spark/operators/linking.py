@@ -87,6 +87,26 @@ def xref_dictionary(spark: SparkSession) -> DataFrame:
     )
 
 
+def synthetic_xref_dictionary(spark: SparkSession,
+                              n_rows: int = 1_000_000) -> DataFrame:
+    """The toy dictionary plus n_rows deterministic filler xrefs —
+    a dictionary-scale stand-in (BridgeDb ships ~60M xrefs) for
+    exercising the above-broadcast-threshold linking path. Filler
+    labels are zz-prefixed so the similarity blocking never collides
+    with fixture labels: linking results on fixture corpora are
+    IDENTICAL to the toy dictionary's."""
+    extra_id = (F.col("id") + 10_000_000).cast("string")
+    extra = spark.range(n_rows).select(
+        F.lit("Entrez Gene").alias("datasource"),
+        extra_id.alias("identifier"),
+        F.concat(F.lit("zz"), F.col("id").cast("string")).alias("label"),
+        canonical_iri(F.lit("Entrez Gene"), extra_id)
+        .alias("canonical_iri"),
+        F.lit(None).cast("string").alias("alias_of_iri"),
+    )
+    return xref_dictionary(spark).unionByName(extra)
+
+
 def _norm_label(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"[^a-z0-9 ]", "")
 
@@ -95,11 +115,18 @@ def _tokens(col):
     return F.array_distinct(F.split(_norm_label(col), r"\s+"))
 
 
-def link_entities(nodes: DataFrame, xref_dict: DataFrame) -> DataFrame:
+def link_entities(nodes: DataFrame, xref_dict: DataFrame,
+                  dict_broadcastable: bool = True) -> DataFrame:
     """-> (url, frag, id, canonical_iri, link_method, link_score).
 
     Only linkable mentions participate (DataNodes & friends with an
-    xref or a text label)."""
+    xref or a text label).
+
+    dict_broadcastable=False is the dictionary-scale path (a real
+    BridgeDb dump exceeds any broadcast threshold): the exact join
+    becomes a SALTED shuffle join — hot xrefs (TP53 on millions of
+    pages) spread over n_salts reducers instead of one — with
+    identical results."""
     linkable = nodes.filter(
         F.col("xref_identifier").isNotNull()
         | F.col("text_content").isNotNull()
@@ -113,13 +140,21 @@ def link_entities(nodes: DataFrame, xref_dict: DataFrame) -> DataFrame:
         F.col("canonical_iri").alias("d_iri"),
     )
 
-    # path 1: exact CURIE join (broadcast dimension)
-    exact = linkable.filter(F.col("xref_identifier").isNotNull()).join(
-        F.broadcast(d),
-        (F.col("xref_datasource") == F.col("d_ds"))
-        & (F.col("xref_identifier") == F.col("d_id")),
-        "left",
-    ).select(
+    # path 1: exact CURIE join (broadcast dim, or salted shuffle join
+    # when the dictionary is too big to broadcast)
+    big = linkable.filter(F.col("xref_identifier").isNotNull()).select(
+        *DOC_KEY, "id",
+        F.col("xref_datasource").alias("ds"),
+        F.col("xref_identifier").alias("ident"))
+    dd = d.select(F.col("d_ds").alias("ds"), F.col("d_id").alias("ident"),
+                  "d_iri")
+    if dict_broadcastable:
+        joined = big.join(F.broadcast(dd), ["ds", "ident"], "left")
+    else:
+        from ..functions.skew import salted_join
+        joined = salted_join(big, dd, ["ds", "ident"], how="left",
+                             broadcast_small=False)
+    exact = joined.select(
         *DOC_KEY, "id",
         F.col("d_iri").alias("canonical_iri"),
         F.when(F.col("d_iri").isNotNull(),
@@ -132,10 +167,12 @@ def link_entities(nodes: DataFrame, xref_dict: DataFrame) -> DataFrame:
                             & F.col("text_content").isNotNull())
     unref = unref.withColumn("toks", _tokens(F.col("text_content"))) \
         .withColumn("block", F.element_at("toks", 1))
-    db = F.broadcast(
-        d.withColumn("d_toks", _tokens(F.col("d_label")))
-         .withColumn("d_block", F.element_at("d_toks", 1))
-    )
+    db = d.withColumn("d_toks", _tokens(F.col("d_label"))) \
+          .withColumn("d_block", F.element_at("d_toks", 1))
+    if dict_broadcastable:
+        db = F.broadcast(db)
+    # (above threshold the block join shuffles both sides on the
+    # block token; AQE skew splitting handles hot blocks)
     cand = unref.join(db, F.col("block") == F.col("d_block"), "left")
     inter = F.size(F.array_intersect("toks", "d_toks"))
     union = F.size(F.array_union("toks", "d_toks"))

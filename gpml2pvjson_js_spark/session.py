@@ -21,9 +21,21 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
-    # local[N] / local[*]
+    # local[N] / local[*] / local-cluster[n,cores,mem]
     n = master.rstrip("]").rsplit("[", 1)[-1]
-    parallelism = os.cpu_count() if n in ("*", "") else int(n)
+    if "," in n:  # local-cluster: n_workers * cores_per_worker
+        try:
+            workers, cores = n.split(",")[:2]
+            parallelism = int(workers) * int(cores)
+        except ValueError:
+            parallelism = os.cpu_count()
+    elif n in ("*", ""):
+        parallelism = os.cpu_count()
+    else:
+        try:
+            parallelism = int(n)
+        except ValueError:
+            parallelism = os.cpu_count()
     # ~8 tasks per core: small-enough shuffle partitions that a task's
     # working set fits its share of execution memory (measured: 64
     # partitions at 32 cores spilled and ran 2x slower than 256), with
@@ -39,6 +51,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Committed stage snapshots compress extremely well (columnar
+        # dictionaries; the replicated bench corpus hits ~1000x), so
+        # byte-based file packing at the 128 MB default collapsed a
+        # 64-file stage into ONE map task — a single thread then
+        # decoded tens of millions of rows while every other core
+        # idled, at any parallelism level. One file = one task keeps
+        # scan parallelism equal to the snapshot's bucket count.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
+        .config("spark.sql.files.openCostInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")

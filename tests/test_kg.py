@@ -132,6 +132,32 @@ def test_similarity_link_blocked_join(spark, model):
     assert lab and lab[0]["link_method"] is None
 
 
+def test_linking_salted_fallback_at_dictionary_scale(spark, model):
+    """Above the broadcast threshold the exact-linking join must use
+    the salted shuffle path with IDENTICAL results: same links from
+    the toy dictionary and from a 200k-row dictionary-scale superset
+    (filler labels never collide), and the executed plan salts the
+    hot datasource key instead of hash-partitioning on it alone."""
+    from gpml2pvjson_js_spark.operators.linking import (
+        synthetic_xref_dictionary)
+
+    def snap(df):
+        return sorted(
+            (r["url"], r["frag"], r["id"], r["canonical_iri"],
+             r["link_method"],
+             round(r["link_score"], 4) if r["link_score"] is not None
+             else None)
+            for r in df.collect())
+
+    toy = snap(link_entities(model["nodes"], xref_dictionary(spark)))
+    big_dict = synthetic_xref_dictionary(spark, 200_000)
+    big_df = link_entities(model["nodes"], big_dict,
+                           dict_broadcastable=False)
+    assert snap(big_df) == toy
+    plan = big_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan  # the exact join shuffles on (key, salt)
+
+
 def test_connected_components_merges_alias(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string")

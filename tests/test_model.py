@@ -123,6 +123,31 @@ def test_shapes_and_labels(model):
     assert math.isclose(sh2["text_rotation"], -90.0)
     lb = nodes["lb001"]
     assert lb["href"] == "http://example.org/more%20info"
+
+
+def test_encode_uri_matches_js_semantics(spark):
+    """encode_uri == JS encodeURI (ref src/2013a/ValueConverters.ts:
+    308-311): keep A-Za-z0-9;,/?:@&=+$-_.!~*'()# and uppercase-UTF-8
+    percent-encode the rest. Oracle = urllib.parse.quote with exactly
+    that safe set."""
+    from urllib.parse import quote
+
+    from gpml2pvjson_js_spark.functions.converters import encode_uri
+
+    cases = [
+        "http://example.org/more info",
+        "http://example.org/ünïcødé päth/?q=a b&x=1+2#frag",
+        "https://a.b/~user/file(1).txt;v=2,3$@!'*",
+        '100% "sure" <tag> [x] {y} |z| \\w^`',
+        "emoji \U0001F600 and 中文",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = {r["s"]: r["e"] for r in
+           df.select("s", encode_uri(F.col("s")).alias("e")).collect()}
+    safe = ";,/?:@&=+$-_.!~*'()#"
+    for c in cases:
+        assert got[c] == quote(c, safe=safe), repr(c)
     assert lb["draw_as"] == "none"  # Label default ShapeType None
     assert lb["fill"] == "transparent"
 

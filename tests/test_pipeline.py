@@ -37,6 +37,80 @@ def test_pipeline_run_resume_manifests(spark, tmp_path_factory):
     assert t.filter(F.col("extracted_text") != F.col("text")).count() == 0
 
 
+def test_read_pages_source_validates_contract(spark, tmp_path_factory):
+    """sources.pages.read_pages: valid tables round-trip (extra
+    columns pruned, lang filter pushed to the scan), contract
+    violations fail fast on the driver."""
+    import pytest
+
+    from gpml2pvjson_js_spark.sources.pages import (
+        PagesSchemaError, read_pages)
+
+    root = str(tmp_path_factory.mktemp("pages_src"))
+    pages = pages_df(spark, 5, giant_every=0).withColumn(
+        "extra_col", F.lit(1))
+    pages.write.parquet(root + "/ok")
+    got = read_pages(spark, root + "/ok")
+    assert got.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert got.count() == 5
+    assert read_pages(spark, root + "/ok", langs=["xx"]).count() == 0
+    # filter must reach the parquet scan
+    plan = read_pages(spark, root + "/ok", langs=["en"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
+
+    pages.drop("html").write.parquet(root + "/missing")
+    with pytest.raises(PagesSchemaError, match="missing column html"):
+        read_pages(spark, root + "/missing")
+    pages.withColumn("warc_ts", F.lit("notatime")) \
+        .select("url", "warc_ts", "html", "text", "lang") \
+        .write.parquet(root + "/badtype")
+    with pytest.raises(PagesSchemaError, match="warc_ts"):
+        read_pages(spark, root + "/badtype")
+
+
+def test_pipeline_resume_after_mid_commit_crash(spark, tmp_path_factory):
+    """Kill-mid-commit semantics: a stage whose WRITE was interrupted
+    (partial data dir, no _SUCCESS, no manifest) plus its never-
+    started downstream stages are recommitted on resume; every stage
+    with a manifest is untouched (timestamps unchanged). The manifest
+    is the commit marker — data without one is garbage to overwrite."""
+    import glob
+
+    root = str(tmp_path_factory.mktemp("kgout_crash"))
+    pages = pages_df(spark, 7, giant_every=0)
+    p = Pipeline(spark, pages, root, n_buckets=4)
+    p.run(resume=False)
+    before = {s: m["committed_at_unix_ms"] for s, m in p.metrics().items()}
+    rows_before = p.metrics()["canonical_triples"]["rows"]
+
+    # simulate kill -9 during the `edges` commit
+    os.remove(os.path.join(root, "edges", "manifest.json"))
+    bucket_dirs = sorted(glob.glob(
+        os.path.join(root, "edges", "data", "bucket=*")))
+    shutil.rmtree(bucket_dirs[0])  # partial write
+    succ = os.path.join(root, "edges", "data", "_SUCCESS")
+    if os.path.exists(succ):
+        os.remove(succ)
+    # downstream stages had not started
+    downstream = ["interactions", "triples", "canonical_triples",
+                  "documents"]
+    for stage in downstream:
+        os.remove(os.path.join(root, stage, "manifest.json"))
+        shutil.rmtree(os.path.join(root, stage, "data"))
+
+    p2 = Pipeline(spark, pages, root, n_buckets=4)
+    p2.run(resume=True)
+    after = {s: m["committed_at_unix_ms"] for s, m in p2.metrics().items()}
+    recommitted = {"edges", *downstream}
+    for s, ts in before.items():
+        if s in recommitted:
+            assert after[s] > ts, f"{s} should have been recommitted"
+        else:
+            assert after[s] == ts, f"{s} should not have been touched"
+    assert p2.metrics()["canonical_triples"]["rows"] == rows_before
+
+
 def test_empty_stage_round_trip(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("kgout_empty"))
     pages = pages_df(spark, 7, giant_every=0)
