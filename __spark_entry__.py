@@ -294,9 +294,18 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash_neardup(spark, sf_dir):
-    from gpml2pvjson_js_spark.operators.dedup import simhash_near_duplicates
+    """Banded simhash near-dup with the PORTABLE 60-bit md5 token hash
+    (dedup.portable_token_hash) so DuckDB can brute-force the exact
+    same fingerprints: with 4 bands, Hamming<=3 pairs always share a
+    band (pigeonhole), so the banded set EQUALS the oracle's all-pairs
+    set — the production default differs only in the hash primitive
+    (xxhash64)."""
+    from gpml2pvjson_js_spark.operators.dedup import (
+        portable_token_hash, simhash_near_duplicates)
     docs = _read(spark, sf_dir, "documents")
-    return simhash_near_duplicates(docs)
+    return simhash_near_duplicates(
+        docs, bits=60, token_hash=portable_token_hash) \
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_ann_bruteforce(spark, sf_dir):
@@ -508,6 +517,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# simhash oracle: brute-force all-pairs Hamming<=3 over the SAME
+# 60-bit md5 token-hash fingerprints the Spark query computes (vote
+# sums + sign bits reproduced bit-for-bit in SQL; + is | here because
+# the addends occupy disjoint bits)
+_SIMHASH_VOTES = ",\n                   ".join(
+    f"sum(CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(60))
+_SIMHASH_FP = "\n                 + ".join(
+    f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60))
+_SIMHASH_ORACLE = f"""
+            WITH th AS (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+              FROM (SELECT doc_id,
+                           unnest(list_distinct(string_split(
+                             regexp_replace(lower(trim(text)),
+                                            '\\s+', ' ', 'g'),
+                             ' '))) AS tok
+                    FROM documents)),
+            votes AS (
+              SELECT doc_id,
+                   {_SIMHASH_VOTES}
+              FROM th GROUP BY doc_id),
+            fp AS (
+              SELECT doc_id,
+                   ({_SIMHASH_FP}) AS simhash
+              FROM votes)
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+                       AS hamming
+            FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
 _EN = "['the','and','of','to','in','is','that','for','with']"
 _DE = "['der','die','das','und','ist','nicht','ein','mit']"
 _FR = "['le','la','les','et','est','pas','une','pour']"
@@ -691,7 +734,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # brute-force all-pairs shingle Jaccard: the LSH output must
         # EQUAL this set (that is the recall claim; band config is
-        # sized so candidate-miss probability at j>=0.8 is ~3e-4)
+        # sized so candidate-miss probability at j>=0.8 is ~3e-4).
+        # Normalization = collapse \\s+ then space-trim (matching the
+        # Arrow shingle UDF); docs with no non-empty tokens drop out.
         "minhash_lsh_pairs": """
             WITH sh AS (
               SELECT doc_id,
@@ -699,11 +744,13 @@ def oracle_sql() -> dict[str, str]:
                         array_to_string(w[i+1:i+3], ' ')
                         FOR i IN range(0, greatest(len(w)-3, 0)+1)
                      ]) AS shingles
-              FROM (SELECT doc_id,
-                           string_split(regexp_replace(lower(trim(text)),
-                                                       '\\s+', ' ', 'g'),
-                                        ' ') AS w
-                    FROM documents)
+              FROM (SELECT doc_id, string_split(norm, ' ') AS w
+                    FROM (SELECT doc_id,
+                                 trim(regexp_replace(lower(text),
+                                                     '\\s+', ' ', 'g'))
+                                     AS norm
+                          FROM documents)
+                    WHERE norm <> '')
             )
             SELECT x.doc_id AS a, y.doc_id AS b,
                    round(CAST(len(list_intersect(x.shingles, y.shingles))
@@ -716,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
                   / greatest(len(list_distinct(x.shingles || y.shingles)),
                              1) >= 0.8
         """,
+        "simhash_neardup": _SIMHASH_ORACLE,
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS q_id,
                               CAST(embedding AS DOUBLE[]) AS q_vec

@@ -26,6 +26,33 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# The scaling series replicates the corpus 512-8192x, so it runs on
+# the smaller sf0.01 table set unless explicitly pointed elsewhere.
+SCALING_SF_DIR = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR",
+                                "/root/testdata/sf0.01")
+
+
+def load_sanity() -> dict:
+    """Pre-flight machine-state check, recorded in every result JSON:
+    a contaminated run (stray JVMs / busy box) self-identifies instead
+    of silently poisoning cross-round comparisons."""
+    load1 = os.getloadavg()[0]
+    strays = []
+    try:
+        out = subprocess.run(
+            ["pgrep", "-af", "java|pytest"], capture_output=True,
+            text=True, timeout=10).stdout
+        strays = [l.split(None, 1)[0] for l in out.splitlines()
+                  if "pgrep" not in l]
+    except Exception:
+        pass
+    info = {"load1_before": round(load1, 2), "n_stray_jvms": len(strays)}
+    if load1 > 2.0 or strays:
+        info["contaminated"] = True
+        print(f"WARNING: bench preflight: load1={load1:.1f}, "
+              f"{len(strays)} stray java/pytest processes — numbers "
+              "from this run are suspect", file=sys.stderr)
+    return info
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -144,6 +171,7 @@ def main() -> dict:
     scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
 
+    sanity = load_sanity()
     spark = get_spark(
         app_name="bench", master=f"local[{CPUS}]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE",
@@ -172,7 +200,7 @@ def main() -> dict:
                 "value": queries["kg_pipeline_triples_per_sec"],
                 "unit": "sec", "queries": queries,
                 "sf": _sf_from_dir(SF_DIR), "n_triples": n_snap,
-                "cpus": CPUS}
+                "cpus": CPUS, **sanity}
 
     # warmup: small corpus through the same plans — compiles codegen,
     # spins up python workers, JITs the hot paths
@@ -214,6 +242,7 @@ def main() -> dict:
         "sf": _sf_from_dir(SF_DIR),
         "n_triples": n_triples,
         "cpus": CPUS,
+        **sanity,
     }
     return result
 
@@ -232,23 +261,37 @@ def scaling_report() -> None:
     target. A single mid-size point conflates overhead with scaling."""
     replicates = [int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALING_REPLICATES", "512,2048,8192").split(",")]
+    sanity = load_sanity()
     series = []
     for replicate in replicates:
         results = {}
         for cpus in (8, 32):
             # IDENTICAL job + config at both levels (only threads
             # vary): warmed snapshot-pipeline protocol, see main()'s
-            # scaling_only branch
+            # scaling_only branch. The replicated corpus compresses
+            # ~1000x in parquet, so byte-based file packing at the
+            # production 128m default would collapse whole stage scans
+            # into one map task — the 16m override is scoped HERE (the
+            # one place the pathology exists), not in the session
+            # factory.
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                       SPARK_GRAFT_SF_DIR=SF_DIR,
+                       SPARK_GRAFT_SF_DIR=SCALING_SF_DIR,
                        SPARK_GRAFT_REPLICATE=str(replicate),
-                       SPARK_GRAFT_SCALING_ONLY="1")
+                       SPARK_GRAFT_SCALING_ONLY="1",
+                       SPARK_GRAFT_MAX_PARTITION_BYTES=os.environ.get(
+                           "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+                       SPARK_GRAFT_OPEN_COST_BYTES=os.environ.get(
+                           "SPARK_GRAFT_OPEN_COST_BYTES", "16m"))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, timeout=5400)
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
             results[cpus] = json.loads(line)
+            print(json.dumps({"point": {"replicate": replicate,
+                                        "cpus": cpus,
+                                        **results[cpus]["queries"]}}),
+                  file=sys.stderr)
         t8 = results[8]["queries"]["kg_pipeline_exec"]
         t32 = results[32]["queries"]["kg_pipeline_exec"]
         w = 32.0 * (t8 - t32) / 3.0
@@ -263,9 +306,10 @@ def scaling_report() -> None:
             "fitted_serial_s": round(s, 1),
             "fitted_parallel_core_s": round(w, 1),
         })
-    write_scaling_baseline(series)
+    write_scaling_baseline(series, sf_dir=SCALING_SF_DIR)
     print(json.dumps({"series": series,
-                      "scaling_efficiency": series[-1]["eff"]}))
+                      "scaling_efficiency": series[-1]["eff"],
+                      **sanity}))
 
 
 def write_scaling_baseline(series: list, sf_dir: str | None = None) -> None:

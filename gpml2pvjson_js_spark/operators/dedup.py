@@ -39,17 +39,36 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      max_ids: int = MAX_DUP_IDS) -> DataFrame:
     """(hash, doc_ids, keep, n): exact dedup by content hash; keeper =
-    min id (deterministic). doc_ids is capped at max_ids — a
-    degenerate cluster (e.g. billions of empty docs) must not build
-    one giant array row; `n` always carries the true count."""
+    min id (deterministic). doc_ids is capped at max_ids; `n` always
+    carries the true count.
+
+    The cap bounds the AGGREGATION BUFFER, not just the output (the
+    old `slice(collect_list(...))` still materialized the full id
+    array per group — a billion identical docs OOM'd one task):
+    groups with n <= max_ids collect their exact sorted membership
+    (the pre-filter guarantees the buffer never exceeds max_ids);
+    larger groups get max_ids deterministic representatives — the min
+    id per xxhash64-salt sub-group, a map-side-combinable scalar agg
+    whose second-level collect sees at most max_ids rows per hash.
+    The global min (== keep) is always among the representatives."""
     h = docs.select(F.col(id_col).alias("doc_id"),
                     F.sha2(normalize_text(F.col(text_col)), 256).alias("h"))
-    return h.groupBy("h").agg(
-        F.slice(F.sort_array(F.collect_list("doc_id")),
-                1, max_ids).alias("doc_ids"),
-        F.min("doc_id").alias("keep"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    counts = h.groupBy("h").agg(F.min("doc_id").alias("keep"),
+                                F.count(F.lit(1)).alias("n"))
+    small = counts.filter(F.col("n") <= max_ids).select("h")
+    ids_small = h.join(small, "h", "left_semi").groupBy("h").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+    large = counts.filter(F.col("n") > max_ids).select("h")
+    reps = (
+        h.join(large, "h", "left_semi")
+        .withColumn("__salt",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(max_ids)))
+        .groupBy("h", "__salt").agg(F.min("doc_id").alias("rep"))
+        .groupBy("h").agg(
+            F.sort_array(F.collect_list("rep")).alias("doc_ids")))
+    ids = ids_small.unionByName(reps)
+    return counts.join(ids, "h", "left") \
+        .select("h", "doc_ids", "keep", "n")
 
 
 def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
@@ -72,10 +91,16 @@ def _shingles_udf(n: int = 3):
     The Catalyst form (sequence -> transform(slice + concat_ws) ->
     array_distinct) runs the transform lambda INTERPRETED per shingle
     — measured 9.2 s of the 10.8 s minhash wall at sf0.1 — while the
-    Python loop over a whole Arrow batch is ~0.3 s. Semantics match
-    the old expression exactly (ASCII whitespace like Java \\s, slice
-    clamped at the tail, first-occurrence-order distinct) so the
-    DuckDB all-pairs oracle still byte-matches."""
+    Python loop over a whole Arrow batch is ~0.3 s.
+
+    Normalization is collapse-whitespace-then-strip-spaces, exactly
+    what the DuckDB oracle computes as
+    `trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))`: tabs and
+    newlines at the edges first become spaces, then the space trim
+    removes them, so both engines agree on docs with any edge
+    whitespace. Texts with no non-empty tokens (null / empty /
+    whitespace-only) yield [] — they drop out of signatures entirely
+    instead of all colliding in one degenerate band bucket."""
     import re
 
     from pyspark.sql.functions import pandas_udf
@@ -86,7 +111,10 @@ def _shingles_udf(n: int = 3):
     def shingles(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
-            norm = ws.sub(" ", (t or "").strip(" \t\n\x0b\f\r")).lower()
+            norm = ws.sub(" ", (t or "").lower()).strip(" ")
+            if not norm:
+                out.append([])
+                continue
             toks = norm.split(" ")
             upper = max(len(toks) - n, 0) + 1
             out.append(list(dict.fromkeys(
@@ -96,13 +124,10 @@ def _shingles_udf(n: int = 3):
     return shingles
 
 
-def _shingles(text_col, n: int = 3):
-    return _shingles_udf(n)(text_col)
-
-
-def _shingle_df(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _shingle_df(docs: DataFrame, id_col: str, text_col: str,
+                n: int = 3) -> DataFrame:
     return docs.select(F.col(id_col).alias("doc_id"),
-                       _shingles(F.col(text_col)).alias("shingles"))
+                       _shingles_udf(n)(F.col(text_col)).alias("shingles"))
 
 
 def _sig_df(sh: DataFrame,
@@ -129,10 +154,11 @@ def _sig_df(sh: DataFrame,
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       num_perm: int = DEFAULT_MINHASH_PERMS) -> DataFrame:
+                       num_perm: int = DEFAULT_MINHASH_PERMS,
+                       shingle_n: int = 3) -> DataFrame:
     """(doc_id, shingles, sig: array<long>): K minhash values, each the
     min over xxhash64(shingle, seed=k); sig is null for empty docs."""
-    sh = _shingle_df(docs, id_col, text_col)
+    sh = _shingle_df(docs, id_col, text_col, shingle_n)
     return sh.join(_sig_df(sh, num_perm), "doc_id", "left")
 
 
@@ -155,7 +181,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
                       num_perm: int = DEFAULT_MINHASH_PERMS,
                       bands: int = DEFAULT_BANDS,
                       threshold: float = 0.8,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      shingle_n: int = 3) -> DataFrame:
     """Candidate pairs via band-bucket join, verified with true shingle
     Jaccard. Returns (a, b, jaccard) with a < b, jaccard >= threshold.
 
@@ -164,7 +191,7 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     scale set it (e.g. 10_000) to bound the quadratic pair blowup of
     boilerplate-dominated buckets."""
     rows_per_band = num_perm // bands
-    sh = _shingle_df(docs, id_col, text_col)
+    sh = _shingle_df(docs, id_col, text_col, shingle_n)
     sigs = _sig_df(sh, num_perm)
     # band-bucket self-join carries ONLY (doc_id, band, bucket) — at
     # corpus scale the candidate-generation shuffle must not move
@@ -199,19 +226,33 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     ).filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text", bits: int = 64) -> DataFrame:
-    """(doc_id, simhash): 64-bit fingerprint — per bit, the sign of the
-    sum of token-hash bit votes.
+def portable_token_hash(col) -> "F.Column":
+    """60-bit token hash both Spark and DuckDB compute identically:
+    first 15 hex chars of md5, parsed as an integer (DuckDB:
+    `CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)`). Used by the
+    simhash ORACLE variant so the banding/vote/Hamming logic is
+    value-checked end-to-end; production defaults to xxhash64 (one
+    codegen'd JVM op, no hex round-trip)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    Expressed as explode -> single grouped aggregation with 64
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 64,
+            token_hash=None) -> DataFrame:
+    """(doc_id, simhash): `bits`-bit fingerprint — per bit, the sign of
+    the sum of token-hash bit votes.
+
+    Expressed as explode -> single grouped aggregation with `bits`
     conditional sums (one shuffle, map-side combinable) — scales
     linearly in tokens instead of evaluating 64 array-fold lambdas
-    per row."""
+    per row. token_hash: col -> Column hash function (default
+    xxhash64; pass `portable_token_hash` for the DuckDB-checkable
+    variant, with bits=60 to match its 60-bit range)."""
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     t = docs.select(F.col(id_col).alias("doc_id"),
                     F.explode(toks).alias("tok"))
-    t = t.withColumn("h", F.xxhash64("tok"))
+    hash_fn = token_hash or F.xxhash64
+    t = t.withColumn("h", hash_fn(F.col("tok")))
     one = F.lit(1).cast("long")
     votes = [
         F.sum(F.when(
@@ -231,16 +272,24 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
 def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             band_bits: int = 16,
-                            max_bucket: int | None = None) -> DataFrame:
+                            max_bucket: int | None = None,
+                            bits: int = 64,
+                            token_hash=None) -> DataFrame:
     """Near-dup candidates = docs sharing a 16-bit simhash band
     (Hamming-block blocking), verified by Hamming distance <= 3.
-    max_bucket: see minhash_lsh_pairs — bounds hot-band blowup."""
-    s = simhash(docs, id_col, text_col)
+    max_bucket: see minhash_lsh_pairs — bounds hot-band blowup.
+
+    With ceil(bits/band_bits) >= 4 bands, 3 differing bits touch at
+    most 3 bands (pigeonhole), so the banded candidate set EQUALS the
+    brute-force all-pairs Hamming<=3 set — which is exactly what the
+    DuckDB oracle brute-forces when run with `portable_token_hash`."""
+    s = simhash(docs, id_col, text_col, bits=bits, token_hash=token_hash)
+    n_bands = (bits + band_bits - 1) // band_bits
     bands = F.array(*[
         F.concat(F.lit(f"{i}:"),
                  F.shiftrightunsigned("simhash", i * band_bits)
                  .bitwiseAND(F.lit((1 << band_bits) - 1)).cast("string"))
-        for i in range(64 // band_bits)
+        for i in range(n_bands)
     ])
     e = s.select("doc_id", "simhash", F.explode(bands).alias("bucket"))
     e = _drop_hot_buckets(e, ["bucket"], max_bucket)
@@ -259,5 +308,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8) -> DataFrame:
     """n-gram Jaccard near-dup with minhash-LSH blocking (the verified
-    score IS the n-gram Jaccard; blocking only bounds the pair count)."""
-    return minhash_lsh_pairs(docs, id_col, text_col, threshold=threshold)
+    score IS the n-gram Jaccard over word n-grams of size `n`;
+    blocking only bounds the pair count)."""
+    return minhash_lsh_pairs(docs, id_col, text_col,
+                             threshold=threshold, shingle_n=n)

@@ -35,7 +35,17 @@ def _cosine_udf():
         bv = np.array(b.to_list(), dtype=np.float64)
         num = np.einsum("ij,ij->i", av, bv)
         den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
-        return pd.Series(num / den)
+        # zero-norm guard: numpy 0/0 is NaN and Spark orders NaN as the
+        # LARGEST double, so an all-zero embedding would rank first in
+        # every desc top-k window. Emit NULL instead (sorts last under
+        # desc), matching what the old Catalyst division returned.
+        ok = den > 0.0
+        if ok.all():
+            return pd.Series(num / den)
+        vals = num / np.where(ok, den, 1.0)
+        return pd.Series(
+            [float(v) if o else None for v, o in zip(vals, ok)],
+            dtype=object)
 
     return cos
 
@@ -53,7 +63,8 @@ def cosine_topk_bruteforce(embeddings: DataFrame, queries: DataFrame,
     joined = e.crossJoin(F.broadcast(q))
     cos = _cosine_udf()(F.col("v"), F.col("q_vec"))
     scored = joined.withColumn("cosine", cos) \
-        .filter(F.col("nbr_id") != F.col("q_id"))
+        .filter(F.col("nbr_id") != F.col("q_id")) \
+        .filter(F.col("cosine").isNotNull())
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return scored.withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k) \
@@ -142,9 +153,12 @@ def _batch_codes(v, mat_t, planes: int, tables: int, multiprobe: bool):
         b = [(1 << order[:, :, i]).astype(np.int64)
              for i in range(n_ranks)]
         zero = np.zeros_like(b[0])
-        mask_list = [zero, b[0], b[1], b[2],
-                     b[0] | b[1], b[0] | b[2], b[1] | b[2],
-                     b[0] | b[1] | b[2]]
+        mask_list = [zero, b[0]]
+        if n_ranks > 1:
+            mask_list += [b[1], b[0] | b[1]]
+        if n_ranks > 2:
+            mask_list += [b[2], b[0] | b[2], b[1] | b[2],
+                          b[0] | b[1] | b[2]]
         if n_ranks > 3:
             mask_list += [b[3], b[0] | b[3]]
         if n_ranks > 4:
@@ -198,6 +212,7 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
     cos = _cosine_udf()(F.col("v"), F.col("q_vec"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
     return scored.withColumn("cosine", cos) \
+        .filter(F.col("cosine").isNotNull()) \
         .withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k) \
         .select("q_id", "nbr_id", "cosine", "rank")

@@ -123,6 +123,8 @@ def test_shapes_and_labels(model):
     assert math.isclose(sh2["text_rotation"], -90.0)
     lb = nodes["lb001"]
     assert lb["href"] == "http://example.org/more%20info"
+    assert lb["draw_as"] == "none"  # Label default ShapeType None
+    assert lb["fill"] == "transparent"
 
 
 def test_encode_uri_matches_js_semantics(spark):
@@ -148,8 +150,6 @@ def test_encode_uri_matches_js_semantics(spark):
     safe = ";,/?:@&=+$-_.!~*'()#"
     for c in cases:
         assert got[c] == quote(c, safe=safe), repr(c)
-    assert lb["draw_as"] == "none"  # Label default ShapeType None
-    assert lb["fill"] == "transparent"
 
 
 def test_styled_converters(model):

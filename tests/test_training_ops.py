@@ -156,7 +156,113 @@ def test_hot_bucket_cap_and_doc_ids_cap(spark):
     assert not any(a < 20 and b < 20 for a, b in pairs)
     dup = exact_duplicates(docs, max_ids=5).filter(F.col("n") == 20).collect()
     assert len(dup) == 1
-    assert len(dup[0]["doc_ids"]) == 5 and dup[0]["keep"] == 0
+    # a >max_ids group gets at most max_ids deterministic
+    # representatives (min per salt sub-group), always incl. the keeper
+    assert 1 <= len(dup[0]["doc_ids"]) <= 5
+    assert dup[0]["keep"] == 0 and 0 in dup[0]["doc_ids"]
+
+
+def test_exact_duplicates_degenerate_group_bounded(spark):
+    """One hash x 50k rows: the aggregation buffer is bounded — small
+    groups collect exact membership only after an n<=max_ids
+    pre-filter, and the degenerate group goes through the salted
+    min-per-sub-group path whose second-level collect sees at most
+    max_ids rows (no unbounded collect_list over the full group)."""
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same text in every row").alias("text"))
+    out = exact_duplicates(docs, max_ids=100).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n"] == 50_000 and row["keep"] == 0
+    assert 1 <= len(row["doc_ids"]) <= 100
+    assert 0 in row["doc_ids"]
+    assert row["doc_ids"] == sorted(row["doc_ids"])
+
+
+def test_ngram_jaccard_threads_n(spark):
+    """ngram_jaccard_pairs(n=...) must actually change the shingle
+    size: the crafted pair is a near-dup at n=2 (j=0.636) but not at
+    n=3 (j=0.454), so threshold 0.5 separates the two settings."""
+    from gpml2pvjson_js_spark.operators.dedup import ngram_jaccard_pairs
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    b = a.replace("w5", "x5")
+    docs = spark.createDataFrame([(1, a), (2, b)],
+                                 "doc_id long, text string")
+    p2 = {(r["a"], r["b"]) for r in
+          ngram_jaccard_pairs(docs, n=2, threshold=0.5).collect()}
+    p3 = {(r["a"], r["b"]) for r in
+          ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (1, 2) in p2
+    assert (1, 2) not in p3
+
+
+def test_shingle_edge_whitespace_and_empty_docs(spark):
+    """Collapse-then-strip normalization: a doc with leading tabs /
+    trailing newlines shingles identically to its clean twin (exact
+    near-dup, j=1.0); empty / whitespace-only / null docs emit [] and
+    produce no pairs at all."""
+    docs = spark.createDataFrame(
+        [(1, "foo bar baz quux alpha"),
+         (2, "\tfoo  bar baz\nquux alpha\r\n"),
+         (3, ""), (4, "   \t\n "), (5, None)],
+        "doc_id long, text string")
+    sigs = {r["doc_id"]: r for r in minhash_signatures(docs).collect()}
+    assert sigs[1]["shingles"] == sigs[2]["shingles"]
+    assert sigs[3]["shingles"] == [] and sigs[4]["shingles"] == []
+    assert sigs[3]["sig"] is None and sigs[4]["sig"] is None
+    pairs = minhash_lsh_pairs(docs, threshold=0.8).collect()
+    assert {(r["a"], r["b"], r["jaccard"]) for r in pairs} \
+        == {(1, 2, 1.0)}
+
+
+def test_simhash_portable_hash_matches_duckdb_bruteforce(spark):
+    """The banded simhash pair set (portable 60-bit md5 token hash)
+    EQUALS DuckDB's brute-force all-pairs Hamming<=3 on the sf0.001
+    documents — the oracle now wired into CORRECTNESS as
+    simhash_neardup."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["a"], r["b"], r["hamming"]) for r in
+           entry.q_simhash_neardup(spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = {(a, b, h) for a, b, h in
+            con.execute(entry.oracle_sql()["simhash_neardup"]).fetchall()}
+    assert got == want
+
+
+def test_cosine_zero_norm_vector_never_ranks(spark):
+    """A zero embedding must not become a false top-1 neighbor: the
+    cosine UDF emits NULL for zero-norm rows (NaN would sort FIRST
+    under desc in Spark) and both top-k paths filter nulls."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.8, 0.2, 0.0, 0.0]), (3, [0.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = cosine_topk_bruteforce(emb, q, k=3).collect()
+    ids = [r["nbr_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert 3 not in ids
+    assert ids == [1, 2]
+    assert all(r["cosine"] is not None for r in out)
+
+
+def test_lsh_small_plane_counts_no_crash(spark):
+    """cosine_topk_lsh with planes=1 and planes=2 (public parameters)
+    must not IndexError inside the multiprobe mask builder."""
+    rows = [(i, [float(i % 3), 1.0, float(i), 0.5]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    for planes in (1, 2):
+        out = cosine_topk_lsh(emb, q, k=3, planes=planes, tables=2,
+                              dim=4)
+        assert out.count() > 0
 
 
 def test_lsh_prunes_clustered_corpus():
