@@ -293,6 +293,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
         .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-2-gram Jaccard near-dup (minhash-LSH blocking, exact
+    verify). Distinct from minhash_lsh_pairs' default 3-grams — this
+    entry pins that the `n` parameter actually reaches the shingler."""
+    from gpml2pvjson_js_spark.operators.dedup import ngram_jaccard_pairs
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=2, threshold=0.8) \
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def q_simhash_neardup(spark, sf_dir):
     """Banded simhash near-dup with the PORTABLE 60-bit md5 token hash
     (dedup.portable_token_hash) so DuckDB can brute-force the exact
@@ -494,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash_neardup": q_simhash_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -764,6 +775,34 @@ def oracle_sql() -> dict[str, str]:
                              1) >= 0.8
         """,
         "simhash_neardup": _SIMHASH_ORACLE,
+        # brute-force all-pairs word-2-gram Jaccard (same claim as the
+        # minhash oracle, at n=2 — pins the shingle-size threading)
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([
+                        array_to_string(w[i+1:i+2], ' ')
+                        FOR i IN range(0, greatest(len(w)-2, 0)+1)
+                     ]) AS shingles
+              FROM (SELECT doc_id, string_split(norm, ' ') AS w
+                    FROM (SELECT doc_id,
+                                 trim(regexp_replace(lower(text),
+                                                     '\\s+', ' ', 'g'))
+                                     AS norm
+                          FROM documents)
+                    WHERE norm <> '')
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   round(CAST(len(list_intersect(x.shingles, y.shingles))
+                              AS DOUBLE)
+                         / len(list_distinct(x.shingles || y.shingles)),
+                         4) AS jaccard
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE CAST(len(list_intersect(x.shingles, y.shingles))
+                       AS DOUBLE)
+                  / greatest(len(list_distinct(x.shingles || y.shingles)),
+                             1) >= 0.8
+        """,
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id AS q_id,
                               CAST(embedding AS DOUBLE[]) AS q_vec

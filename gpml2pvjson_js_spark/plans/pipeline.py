@@ -109,14 +109,17 @@ class SnapshotStore:
             # thrashed the JVM and the write ANTI-scaled (87 s at 32
             # cores vs 51 s at 8). One-dir-per-task with a salt is
             # both scalable and allocation-bounded.
+            mult = int(os.environ.get(
+                "SPARK_GRAFT_WRITE_TASKS_PER_BUCKET", "2"))
             salt2 = F.pmod(F.xxhash64(F.col(bucket_col), F.lit(1)),
-                           F.lit(2))
-            (out.repartition(2 * self.n_buckets, F.col("bucket"), salt2)
+                           F.lit(mult))
+            (out.repartition(mult * self.n_buckets,
+                             F.col("bucket"), salt2)
                 .write.mode("overwrite").partitionBy("bucket")
                 .parquet(data_path))
         else:
             out.write.mode("overwrite").parquet(data_path)
-        wall_ms = int((time.time() - t0) * 1000)
+        write_ms = int((time.time() - t0) * 1000)
 
         spark = df.sparkSession
         committed = spark.read.schema(out.schema).parquet(data_path)
@@ -124,7 +127,10 @@ class SnapshotStore:
         # produced — metadata-only, no second scan (the old
         # read-back + groupBy-count was measured as the bulk of a 12x
         # snapshot-vs-lazy throughput gap)
+        t1 = time.time()
         per_part = self._footer_rowcounts(data_path)
+        footer_ms = int((time.time() - t1) * 1000)
+        wall_ms = int((time.time() - t0) * 1000)
         manifest = {
             "stage": stage,
             "path": data_path,
@@ -133,6 +139,8 @@ class SnapshotStore:
             "rows": sum(p["rows"] for p in per_part),
             "partitions": sorted(per_part, key=lambda p: p["partition"]),
             "wall_ms": wall_ms,
+            "write_ms": write_ms,
+            "footer_ms": footer_ms,
             "committed_at_unix_ms": int(time.time() * 1000),
         }
         tmp = manifest_path + ".tmp"
@@ -163,8 +171,41 @@ class Pipeline:
             return self.store.read(self.spark, name)
         return self.store.commit(build(), name)
 
+    def _release_stage_blocks(self, persisted_before: set) -> None:
+        """Unpersist the lazily-localCheckpointed RDDs this run staged.
+
+        The fan-out checkpoints (assemble/waypoints/topo/canonicalize)
+        are plan-cutting scaffolding; once every stage is committed to
+        parquet nobody reads them again — but their serialized blocks
+        stay pinned in the block manager until the JVM happens to GC
+        the RDD handles. On a long-lived driver submitting repeated
+        jobs that accumulation is a cliff, not a slope (measured: the
+        same sf0.1 job in one JVM ran 61.5 s -> 40.4 s -> 152.8 s as
+        persistent RDDs grew 24 -> 41 -> 57; with release, flat).
+        Only RDDs persisted DURING this run are touched."""
+        try:
+            jsc = self.spark.sparkContext._jsc.sc()
+            it = jsc.getPersistentRDDs().toList().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() not in persisted_before:
+                    kv._2().unpersist(False)
+        except Exception:
+            pass  # cleanup is best-effort; never fail a committed run
+
+    def _persisted_ids(self) -> set:
+        try:
+            jsc = self.spark.sparkContext._jsc.sc()
+            ids, it = set(), jsc.getPersistentRDDs().toList().iterator()
+            while it.hasNext():
+                ids.add(it.next()._1())
+            return ids
+        except Exception:
+            return set()
+
     def run(self, resume: bool = True,
-            max_workers: int | None = None) -> dict[str, DataFrame]:
+            max_workers: int | None = None,
+            release_blocks: bool = True) -> dict[str, DataFrame]:
         """Execute the stage DAG CONCURRENTLY: a stage is submitted the
         moment its dependencies are committed, on a small thread pool.
 
@@ -240,29 +281,35 @@ class Pipeline:
 
         done: set[str] = set()
         futures: dict[str, object] = {}
-        with ThreadPoolExecutor(max_workers=max_workers) as ex:
-            while len(done) < len(builds):
-                for name, (deps, build) in builds.items():
-                    if name in done or name in futures:
-                        continue
-                    if all(d in done for d in deps):
-                        futures[name] = ex.submit(
-                            self._stage, name, build, resume)
-                if not futures:
-                    raise RuntimeError("pipeline stage deadlock")
-                futures_wait(list(futures.values()),
-                             return_when=FIRST_COMPLETED)
-                for name, fut in list(futures.items()):
-                    if fut.done():
-                        df = fut.result()  # re-raises stage failures
-                        if name == "mentions":
-                            parsed_holder["df"] = df
-                            out["mentions"] = df.filter(
-                                F.col("gpml_element_name") != "_error")
-                        else:
-                            out[name] = df
-                        done.add(name)
-                        del futures[name]
+        persisted_before = self._persisted_ids() if release_blocks \
+            else set()
+        try:
+            with ThreadPoolExecutor(max_workers=max_workers) as ex:
+                while len(done) < len(builds):
+                    for name, (deps, build) in builds.items():
+                        if name in done or name in futures:
+                            continue
+                        if all(d in done for d in deps):
+                            futures[name] = ex.submit(
+                                self._stage, name, build, resume)
+                    if not futures:
+                        raise RuntimeError("pipeline stage deadlock")
+                    futures_wait(list(futures.values()),
+                                 return_when=FIRST_COMPLETED)
+                    for name, fut in list(futures.items()):
+                        if fut.done():
+                            df = fut.result()  # re-raises stage failures
+                            if name == "mentions":
+                                parsed_holder["df"] = df
+                                out["mentions"] = df.filter(
+                                    F.col("gpml_element_name") != "_error")
+                            else:
+                                out[name] = df
+                            done.add(name)
+                            del futures[name]
+        finally:
+            if release_blocks:
+                self._release_stage_blocks(persisted_before)
         return out
 
     def metrics(self) -> dict:
