@@ -339,6 +339,20 @@ def q_ann_lsh(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+def q_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact baseline (the
+    oracle-checked reference; the LSH-blocked scale path is pinned by
+    recall tests in tests/test_training_ops.py). Threshold 0.3 is
+    data-relative: the bench embeddings are near-random (max pairwise
+    cosine ~0.51), so a web-corpus 0.9 threshold would make the query
+    vacuously empty."""
+    from gpml2pvjson_js_spark.operators.similarity import (
+        cosine_neardup_pairs)
+    emb = _read(spark, sf_dir, "embeddings")
+    out = cosine_neardup_pairs(emb, threshold=0.3, method="exact")
+    return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_multimodal_features(spark, sf_dir):
     from gpml2pvjson_js_spark.operators.multimodal import (
         extract_features, synthesize_media)
@@ -508,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "cosine_neardup": q_cosine_neardup,
         "multimodal_features": q_multimodal_features,
         # skew handling (salting: same values as unsalted oracle)
         "skew_salted_join": q_skew_salted_join,
@@ -817,6 +832,16 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cos DESC, nbr_id) AS rank
                   FROM c)
             WHERE rank <= 5
+        """,
+        "cosine_neardup": """
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(
+                           CAST(x.embedding AS DOUBLE[]),
+                           CAST(y.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(
+                    CAST(x.embedding AS DOUBLE[]),
+                    CAST(y.embedding AS DOUBLE[])) >= 0.3
         """,
         # the salted variants must produce EXACTLY the unsalted
         # relational result — the salt is physical-plan-only

@@ -191,11 +191,13 @@ def main() -> dict:
         # sf0.001 pays codegen + python-worker spinup first.
         run_pipeline_measured(spark, "/root/testdata/sf0.001",
                               f"{tmp}/warmup")
-        n_snap, snap_sec, _ = run_pipeline_measured(
+        n_snap, snap_sec, stages = run_pipeline_measured(
             spark, SF_DIR, f"{tmp}/scale", replicate)
         queries["kg_pipeline_exec"] = round(snap_sec, 3)
         queries["kg_pipeline_triples_per_sec"] = (
             round(n_snap / snap_sec, 2) if snap_sec else 0.0)
+        for s, ms in stages.items():
+            queries[f"kg_stage_{s}"] = round(ms / 1000.0, 3)
         return {"metric": "triples_per_sec",
                 "value": queries["kg_pipeline_triples_per_sec"],
                 "unit": "sec", "queries": queries,
@@ -247,6 +249,33 @@ def main() -> dict:
     return result
 
 
+def _wait_for_idle(threshold: float = 2.0, max_wait: int = 240) -> None:
+    """Let the 1-min load average from the PREVIOUS leg decay before
+    starting the next one, so back-to-back subprocesses don't flag
+    each other as contaminated."""
+    t0 = time.time()
+    while os.getloadavg()[0] > threshold and time.time() - t0 < max_wait:
+        time.sleep(10)
+
+
+LEGS_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH", "scaling_legs.json")
+
+
+def _load_legs() -> dict:
+    try:
+        with open(LEGS_CACHE) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _save_legs(legs: dict) -> None:
+    os.makedirs(os.path.dirname(LEGS_CACHE), exist_ok=True)
+    with open(LEGS_CACHE, "w") as f:
+        json.dump(legs, f, indent=1)
+
+
 def scaling_report() -> None:
     """Run the KG pipeline at local[8] and local[32] in fresh
     subprocesses across a replicate SERIES; write BENCH/BASELINE.md
@@ -258,36 +287,86 @@ def scaling_report() -> None:
     of W/S alone. The sandbox cannot run 100 TB, so the honest
     evidence is the trend: measured efficiency must climb toward 1 as
     W grows with S flat, and the largest point must clear the >= 0.8
-    target. A single mid-size point conflates overhead with scaling."""
+    target. A single mid-size point conflates overhead with scaling.
+
+    Resumable: every completed leg is persisted to
+    BENCH/scaling_legs.json keyed by (sf_dir, replicate, cpus) and
+    skipped on re-run — a multi-hour series survives a crash with
+    only the in-flight leg lost. DELETE the cache whenever the
+    pipeline code or the protocol changes; stale legs would mix
+    measurements of different code."""
+    # Series sized to measured wall cost under the pinned protocol
+    # (taskset + fixed 24g heap): measured legs 128@8=118.5s,
+    # 128@32=65.7s, 512@8=192.8s; each subprocess adds ~4-6 min of
+    # JVM startup + sf0.001 warmup + replicate staging. The 2048
+    # point (~10 min @8, ~3 min @32 measured) is where W/S is large
+    # enough for the >= 0.8 criterion to bind.
     replicates = [int(x) for x in os.environ.get(
-        "SPARK_GRAFT_SCALING_REPLICATES", "512,2048,8192").split(",")]
+        "SPARK_GRAFT_SCALING_REPLICATES", "128,512,2048").split(",")]
     sanity = load_sanity()
+    legs = _load_legs()
     series = []
     for replicate in replicates:
         results = {}
         for cpus in (8, 32):
-            # IDENTICAL job + config at both levels (only threads
-            # vary): warmed snapshot-pipeline protocol, see main()'s
-            # scaling_only branch. The replicated corpus compresses
-            # ~1000x in parquet, so byte-based file packing at the
-            # production 128m default would collapse whole stage scans
-            # into one map task — the 16m override is scoped HERE (the
-            # one place the pathology exists), not in the session
-            # factory.
+            leg_key = f"{SCALING_SF_DIR}:r{replicate}:c{cpus}"
+            if leg_key in legs:
+                results[cpus] = legs[leg_key]
+                print(json.dumps({"cached_point": {
+                    "replicate": replicate, "cpus": cpus,
+                    "kg_pipeline_exec": results[cpus]["queries"][
+                        "kg_pipeline_exec"]}}), file=sys.stderr)
+                continue
+            # IDENTICAL job + config at both levels — only the
+            # resources vary, and they vary the way a real N -> 4N
+            # executor fleet varies:
+            #
+            # 1. taskset pins the WHOLE process tree (JVM + Python
+            #    UDF workers) to exactly `cpus` physical cores.
+            #    Without it, local[8] on a 32-core box is a lie: the
+            #    Python workers of the two mapInPandas page-scan
+            #    stages run OUTSIDE the 8 JVM task slots, so the
+            #    "8-core" run was measured using ~16+ physical cores
+            #    (stage walls: mentions 7.6 s at "8" cores vs 23.7 s
+            #    at 32 — the oversubscribed box, not the operator).
+            # 2. Total JVM heap is FIXED at 24 GB for both levels.
+            #    A real 4N fleet brings 4x aggregate heap — but as
+            #    4 SEPARATE JVMs. Reproducing that by quadrupling the
+            #    single local JVM to 96 GB was measured 6.5x SLOWER
+            #    (677 s vs 103 s at replicate 128 / 32 cores): G1
+            #    tracing one ~57 GB unified-memory live set is
+            #    superlinear in a way four 24 GB heaps never are.
+            #    Fixing total heap instead HANDICAPS the 4N leg (its
+            #    per-task execution memory is 4x smaller), so the
+            #    measured efficiency is a conservative lower bound.
+            #
+            # The replicated corpus compresses ~1000x in parquet, so
+            # byte-based file packing at the production 128m default
+            # would collapse whole stage scans into one map task —
+            # the 16m override is scoped HERE (the one place the
+            # pathology exists), not in the session factory.
+            _wait_for_idle()
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                        SPARK_GRAFT_SF_DIR=SCALING_SF_DIR,
                        SPARK_GRAFT_REPLICATE=str(replicate),
                        SPARK_GRAFT_SCALING_ONLY="1",
+                       SPARK_GRAFT_DRIVER_MEM=os.environ.get(
+                           "SPARK_GRAFT_DRIVER_MEM", "24g"),
                        SPARK_GRAFT_MAX_PARTITION_BYTES=os.environ.get(
                            "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
                        SPARK_GRAFT_OPEN_COST_BYTES=os.environ.get(
                            "SPARK_GRAFT_OPEN_COST_BYTES", "16m"))
+            cmd = [sys.executable, os.path.abspath(__file__)]
+            if os.path.exists("/usr/bin/taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=5400)
+                cmd, env=env, capture_output=True, text=True,
+                timeout=14400)
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("{")][-1]
             results[cpus] = json.loads(line)
+            legs[leg_key] = results[cpus]
+            _save_legs(legs)
             print(json.dumps({"point": {"replicate": replicate,
                                         "cpus": cpus,
                                         **results[cpus]["queries"]}}),
@@ -306,7 +385,9 @@ def scaling_report() -> None:
             "fitted_serial_s": round(s, 1),
             "fitted_parallel_core_s": round(w, 1),
         })
-    write_scaling_baseline(series, sf_dir=SCALING_SF_DIR)
+        # write after EVERY completed point: a multi-hour series must
+        # not lose its measured prefix to a late failure
+        write_scaling_baseline(series, sf_dir=SCALING_SF_DIR)
     print(json.dumps({"series": series,
                       "scaling_efficiency": series[-1]["eff"],
                       **sanity}))
@@ -332,8 +413,17 @@ lineage manifests) -- on the deterministic corpus derived from
 `{sf_dir or SF_DIR}` documents at increasing replicate factors.
 Every run uses the IDENTICAL job and config (shuffle_partitions=256,
 AQE + skew-join splitting on) after an sf0.001 warmup pass; within a
-replicate row only compute threads vary (local[8] = N vs local[32] =
-4N, the sandbox substitute for N vs 4N executors).
+replicate row only RESOURCES vary, the way a real N -> 4N executor
+fleet varies them: `taskset` pins the whole process tree (JVM AND
+Python UDF workers) to exactly N physical cores — without the pin,
+"local[8]" on a 32-core box silently uses ~16+ cores because
+mapInPandas Python workers run outside the JVM task slots — and
+total JVM heap is FIXED at 24 GB for both levels. (A real 4N fleet
+brings 4x aggregate heap as 4 SEPARATE JVMs; quadrupling the single
+local JVM to 96 GB instead was measured 6.5x slower — G1 tracing one
+~57 GB live set — so fixed total heap is used, which HANDICAPS the
+4N leg with 4x less per-task memory and makes the measured
+efficiency a conservative lower bound.)
 
 Model: T(c) = S + W/c with S = parallelism-independent seconds
 (per-stage Catalyst planning, snapshot-commit latency, AQE

@@ -168,6 +168,66 @@ def _batch_codes(v, mat_t, planes: int, tables: int, multiprobe: bool):
     return packed
 
 
+def cosine_neardup_pairs(embeddings: DataFrame,
+                         threshold: float = 0.3,
+                         method: str = "exact",
+                         planes: int = DEFAULT_LSH_PLANES,
+                         tables: int = DEFAULT_TABLES,
+                         dim: int | None = None,
+                         max_bucket: int | None = None,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with
+    a < b and cosine >= threshold.
+
+    method='exact' — the all-pairs baseline (range self-join + one
+    Arrow-batched numpy cosine per candidate batch). Exact and
+    oracle-checkable (DuckDB list_cosine_similarity), but O(N^2)
+    pairs: the correctness reference, not the 100 TB path.
+
+    method='lsh' — the scale path: both sides hash through the same
+    multi-table sign-LSH bucket codes as cosine_topk_lsh, candidates
+    are bucket-cojoined carrying ONLY (id, bucket), deduped, then
+    exact-cosine verified >= threshold. Pair count is bounded by
+    bucket occupancy (plus the max_bucket hot-bucket cap, same knob
+    as dedup.minhash_lsh_pairs) instead of N^2. Approximate by
+    nature: recall vs the exact method is pinned in
+    tests/test_training_ops.py on a clustered corpus."""
+    e = embeddings.select(F.col(id_col).alias("a"),
+                          F.col(vec_col).cast("array<double>").alias("va"))
+    r = embeddings.select(F.col(id_col).alias("b"),
+                          F.col(vec_col).cast("array<double>").alias("vb"))
+    if method == "exact":
+        cand = e.crossJoin(r).filter(F.col("a") < F.col("b"))
+    elif method == "lsh":
+        if dim is None:
+            dim = int(embeddings.select(
+                F.size(F.col(vec_col)).alias("d")).first()["d"])
+        codes = _bucket_codes_udf(dim, planes, tables)
+        buckets = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.explode(codes(F.col(vec_col).cast("array<double>")))
+            .alias("bucket"))
+        if max_bucket is not None:
+            sizes = buckets.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("__bn"))
+            small = sizes.filter(F.col("__bn") <= max_bucket) \
+                .drop("__bn")
+            buckets = buckets.join(small, ["bucket"], "left_semi")
+        ids = buckets.alias("l").join(
+            buckets.alias("r"), "bucket") \
+            .filter(F.col("l.id") < F.col("r.id")) \
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b")) \
+            .dropDuplicates(["a", "b"])
+        cand = ids.join(e, "a").join(r, "b")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    cos = _cosine_udf()(F.col("va"), F.col("vb"))
+    return cand.withColumn("cosine", cos) \
+        .filter(F.col("cosine") >= threshold) \
+        .select("a", "b", "cosine")
+
+
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
                     k: int = 5, planes: int = DEFAULT_LSH_PLANES,
                     tables: int = DEFAULT_TABLES,

@@ -311,6 +311,55 @@ def test_lsh_prunes_clustered_corpus():
         f"candidate fraction {cand_fraction} — no pruning"
 
 
+def test_cosine_neardup_exact_matches_duckdb(spark):
+    """Exact embedding-cosine near-dup pairs == DuckDB brute-force
+    all-pairs list_cosine_similarity >= 0.3 at sf0.001 (the same
+    contract the driver's oracle checks at sf0.01)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["a"], r["b"], r["cosine"]) for r in
+           entry.queries()["cosine_neardup"](spark, sf).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    want = set(map(tuple,
+                   con.execute(entry.oracle_sql()["cosine_neardup"])
+                   .fetchall()))
+    assert got == want and len(got) > 0
+
+
+def test_cosine_neardup_lsh_recall(spark):
+    """The LSH-blocked scale path finds every planted near-dup pair
+    (cosine >= 0.95 at theta~8deg: per 4-bit table p~0.83, 8 tables
+    OR-amplified ~1.0) while generating fewer candidate pairs than
+    all-pairs — the shape that survives 100 TB."""
+    import numpy as np
+
+    from gpml2pvjson_js_spark.operators.similarity import (
+        cosine_neardup_pairs)
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        if i % 3 == 0:  # plant a near-dup twin
+            w = v + rng.normal(size=16) * 0.02
+            rows.append((2 * i + 1, [float(x) for x in w]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    exact = {(r["a"], r["b"]) for r in cosine_neardup_pairs(
+        emb, threshold=0.95, method="exact").collect()}
+    lsh = {(r["a"], r["b"]) for r in cosine_neardup_pairs(
+        emb, threshold=0.95, method="lsh", dim=16).collect()}
+    assert len(exact) == 40  # one pair per planted twin
+    assert lsh == exact
+
+
 def test_language_id(docs):
     pred = {r["doc_id"]: r["lang_pred"]
             for r in language_id(docs).collect()}
