@@ -353,6 +353,40 @@ def q_cosine_neardup(spark, sf_dir):
     return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_affine_transform(spark, sf_dir):
+    """Affine transform of element bounding boxes (reference
+    geom-utils transform(), src/geom-utils.ts:596-686) — a pure
+    Catalyst F.aggregate fold of 3x3 matrices, no UDF. The oracle uses
+    only scale/translate steps with dyadic-rational inputs (halves /
+    quarters / small ints), so every intermediate is exact in binary
+    floating point and Spark's matrix fold equals DuckDB's closed form
+    bit-for-bit regardless of evaluation order; rotation (cos/sin,
+    not bit-portable across libm) is pinned by tests/test_affine.py
+    against a Python port of the reference instead."""
+    from gpml2pvjson_js_spark.functions.affine import transform_elements
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    elems = part.select(
+        k.alias("p_partkey"),
+        (k % 97).cast("double").alias("x"),
+        ((k * 7) % 89).cast("double").alias("y"),
+        (k % 50 + 10).cast("double").alias("width"),
+        (k % 30 + 5).cast("double").alias("height"),
+        F.array(
+            F.struct(F.lit("scale").alias("key"),
+                     F.array((k % 5).cast("double") * 0.5 + 1.0,
+                             (k % 4).cast("double") * 0.25 + 0.5)
+                     .alias("value")),
+            F.struct(F.lit("translate").alias("key"),
+                     F.array((k % 11).cast("double") - 5.0,
+                             (k % 13).cast("double") - 6.0)
+                     .alias("value"))).alias("seq"),
+        F.lit("25% 75%").alias("origin"))
+    return transform_elements(elems, seq_col="seq",
+                              origin_col="origin") \
+        .select("p_partkey", "x", "y", "width", "height")
+
+
 def q_multimodal_features(spark, sf_dir):
     from gpml2pvjson_js_spark.operators.multimodal import (
         extract_features, synthesize_media)
@@ -523,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "cosine_neardup": q_cosine_neardup,
+        "affine_transform": q_affine_transform,
         "multimodal_features": q_multimodal_features,
         # skew handling (salting: same values as unsalted oracle)
         "skew_salted_join": q_skew_salted_join,
@@ -842,6 +877,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                     CAST(x.embedding AS DOUBLE[]),
                     CAST(y.embedding AS DOUBLE[])) >= 0.3
+        """,
+        # closed form of T(origin) . scale . translate . T(-origin)
+        # applied to both bbox corners; dyadic-rational inputs make
+        # Spark's matrix fold and this closed form bit-identical
+        "affine_transform": """
+            SELECT p_partkey,
+                   sx * (dx - 0.25 * w) + (x + 0.25 * w) AS x,
+                   sy * (dy - 0.75 * h) + (y + 0.75 * h) AS y,
+                   sx * w AS width,
+                   sy * h AS height
+            FROM (
+              SELECT p_partkey,
+                     CAST(p_partkey % 97 AS DOUBLE) AS x,
+                     CAST((p_partkey * 7) % 89 AS DOUBLE) AS y,
+                     CAST(p_partkey % 50 + 10 AS DOUBLE) AS w,
+                     CAST(p_partkey % 30 + 5 AS DOUBLE) AS h,
+                     CAST(p_partkey % 5 AS DOUBLE) * 0.5 + 1.0 AS sx,
+                     CAST(p_partkey % 4 AS DOUBLE) * 0.25 + 0.5 AS sy,
+                     CAST(p_partkey % 11 AS DOUBLE) - 5.0 AS dx,
+                     CAST(p_partkey % 13 AS DOUBLE) - 6.0 AS dy
+              FROM part)
         """,
         # the salted variants must produce EXACTLY the unsalted
         # relational result — the salt is physical-plan-only
