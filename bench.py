@@ -238,9 +238,15 @@ def main() -> dict:
         # cores idle-equal with 32; repl 512 pins all cores). AQE
         # stays ON here (per-stage plans are small, so its replanning
         # is cheap and its skew splitting is wanted); a warmup pass at
-        # sf0.001 pays codegen + python-worker spinup first.
-        run_pipeline_measured(spark, "/root/testdata/sf0.001",
-                              f"{tmp}/warmup")
+        # sf0.001 pays codegen + python-worker spinup first. The
+        # warmup's own replicate factor is tunable: on a MULTI-exec
+        # fleet every executor JVM JITs independently and each sees
+        # only 1/n of the warmup tasks, so a tiny warmup leaves the
+        # wide fleet's code cold (measured: +24% task CPU at 4 exec
+        # vs 1 in the measured window) — a 100 TB job is always warm.
+        run_pipeline_measured(
+            spark, "/root/testdata/sf0.001", f"{tmp}/warmup",
+            int(os.environ.get("SPARK_GRAFT_WARMUP_REPLICATE", "1")))
         n_snap, snap_sec, stages = run_pipeline_measured(
             spark, SF_DIR, f"{tmp}/scale", replicate)
         queries["kg_pipeline_exec"] = round(snap_sec, 3)
@@ -417,7 +423,19 @@ def scaling_report() -> None:
             # the 16m override is scoped HERE (the one place the
             # pathology exists), not in the session factory.
             _wait_for_idle()
+            # Shuffle/checkpoint scratch on tmpfs at BOTH levels: the
+            # sandbox has ONE shared 251 MB/s virtio disk (measured
+            # with dd oflag=direct), while a real N-node fleet brings
+            # N local NVMe scratch devices — shared-disk saturation
+            # made the two biggest shuffle stages (triples, documents)
+            # scale 1.0x/0.93x from N to 4N. Like the CPU pinning,
+            # this removes a hypervisor artifact from both legs
+            # equally; snapshots (the durable commit) stay on disk.
+            scratch = os.environ.get("SPARK_GRAFT_SCRATCH_DIR",
+                                     "/dev/shm/spark-scratch")
+            os.makedirs(scratch, exist_ok=True)
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                       SPARK_LOCAL_DIRS=scratch,
                        SPARK_GRAFT_FLEET_EXECUTORS=str(n_exec),
                        SPARK_GRAFT_FLEET_CORES=str(exec_cores),
                        SPARK_GRAFT_PIN_CORES=f"0-{cpus - 1}",
@@ -512,7 +530,11 @@ EFFECTIVE cores, a 3.1x resource ratio that caps even a perfectly
 scaling engine at eff 0.78 and measured 0.33 on the real pipeline.
 {c_n} vs {c_4n} sits inside the measured linear-delivery region
 (4.3x effective ratio), so the pair measures the engine, not the
-hypervisor. Single-JVM substitutes were likewise measured and
+hypervisor. For the same reason shuffle/checkpoint scratch lives on
+tmpfs at BOTH levels: the sandbox has ONE shared 251 MB/s virtio
+disk where a real fleet has N local NVMe devices, and shared-disk
+saturation froze the two biggest shuffle stages at 1.0x from N to
+4N. Durable snapshot commits stay on disk. Single-JVM substitutes were likewise measured and
 rejected: fixed total heap starves the 4N leg once the corpus
 outgrows heap/4 (512x replicate collapsed to eff 0.26), and 4x heap
 in one JVM is 6.5x slower outright (G1 tracing a ~57 GB live set

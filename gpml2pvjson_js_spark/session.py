@@ -77,6 +77,14 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
     )
+    # Generic conf passthrough (semicolon-separated k=v pairs), the
+    # local analog of spark-submit --conf: lets a deployment or a
+    # bench experiment set e.g. spark.eventLog.* or spark.local.dir
+    # without code changes. Explicit extra_conf wins over env.
+    for item in filter(None,
+                       os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
