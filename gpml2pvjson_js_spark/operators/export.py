@@ -193,9 +193,9 @@ def _pathway_json(pathways: DataFrame) -> Column:
     return F.to_json(F.struct(*fields))
 
 
-def jsonld_documents(model: dict) -> DataFrame:
-    """One row per (url, frag): the full {pathway, entitiesById}
-    JSON-LD document string (NDJSON-ready, S5)."""
+def _entity_entries(model: dict) -> DataFrame:
+    """(url, frag, entry) — one escaped `"id":{...}` map entry per
+    entity across the four entity frames."""
     ents = (
         _node_json(model["nodes"])
         .unionByName(_edge_json(model["edges"]))
@@ -210,25 +210,75 @@ def jsonld_documents(model: dict) -> DataFrame:
     # to_json omits null fields ("{}" -> empty key -> ':{...}' corrupt
     # entry); drop null-id rows instead, matching the pre-to_json
     # behavior where concat returned NULL and collect_list skipped it
-    ents = ents.filter(F.col("id").isNotNull())
-    per_doc = ents.groupBy(*DOC_KEY).agg(
-        F.concat_ws(",", F.collect_list(
-            F.concat(escaped_key, F.lit(":"),
-                     F.col("entity_json")))).alias("entities_body"))
+    return ents.filter(F.col("id").isNotNull()).select(
+        *DOC_KEY,
+        F.concat(escaped_key, F.lit(":"), F.col("entity_json"))
+        .alias("entry"))
+
+
+def _assemble(pathway_json, entities_body) -> Column:
+    return F.concat(
+        F.lit('{"pathway":'), pathway_json,
+        F.lit(',"entitiesById":{'),
+        F.coalesce(entities_body, F.lit("")),
+        F.lit("}}"))
+
+
+def jsonld_documents(model: dict,
+                     bucketize: tuple[int, int] | None = None
+                     ) -> DataFrame:
+    """One row per (url, frag): the full {pathway, entitiesById}
+    JSON-LD document string (NDJSON-ready, S5).
+
+    `bucketize=(n_buckets, write_mult)`: the snapshot-pipeline path.
+    The pathway row rides the SAME union as the entity entries
+    (marker columns instead of a join), and the single grouped
+    assembly is keyed by the snapshot's (bucket, __wsalt, url, frag)
+    — its one exchange hash-partitions by (bucket, __wsalt), which
+    simultaneously satisfies the groupBy (subset rule) and the
+    snapshot writer's layout, so the FULL document text is shuffled
+    exactly once instead of twice (grouping + commit repartition).
+    entitiesById map order differs from the join path only in entry
+    arrival order — JSON-object semantics, pinned order-insensitively
+    by the golden tests."""
     p = model["pathways"].withColumn("pathway_json",
                                      _pathway_json(model["pathways"]))
-    p = p.select(*DOC_KEY, "pathway_id", "pathway_json")
-    per_doc = per_doc.select(F.col("url").alias("e_url"),
-                             F.col("frag").alias("e_frag"),
-                             "entities_body")
-    out = p.join(
-        per_doc,
-        (p.url == per_doc.e_url) & (p.frag == per_doc.e_frag),
-        "left",
-    ).drop("e_url", "e_frag")
-    doc = F.concat(
-        F.lit('{"pathway":'), F.col("pathway_json"),
-        F.lit(',"entitiesById":{'),
-        F.coalesce(F.col("entities_body"), F.lit("")),
-        F.lit("}}"))
-    return out.select(*DOC_KEY, "pathway_id", doc.alias("jsonld"))
+    if bucketize is None:
+        per_doc = _entity_entries(model).groupBy(*DOC_KEY).agg(
+            F.concat_ws(",", F.collect_list("entry"))
+            .alias("entities_body"))
+        p = p.select(*DOC_KEY, "pathway_id", "pathway_json")
+        per_doc = per_doc.select(F.col("url").alias("e_url"),
+                                 F.col("frag").alias("e_frag"),
+                                 "entities_body")
+        out = p.join(
+            per_doc,
+            (p.url == per_doc.e_url) & (p.frag == per_doc.e_frag),
+            "left",
+        ).drop("e_url", "e_frag")
+        return out.select(*DOC_KEY, "pathway_id",
+                          _assemble(F.col("pathway_json"),
+                                    F.col("entities_body"))
+                          .alias("jsonld"))
+
+    from ..plans.pipeline import with_bucket_cols
+    n_buckets, mult = bucketize
+    null_s = F.lit(None).cast("string")
+    e_rows = _entity_entries(model).select(
+        *DOC_KEY, null_s.alias("pid"), null_s.alias("pathway_json"),
+        F.col("entry"))
+    p_rows = p.select(*DOC_KEY, F.col("pathway_id").alias("pid"),
+                      "pathway_json", null_s.alias("entry"))
+    u = with_bucket_cols(e_rows.unionByName(p_rows), n_buckets, mult)
+    u = u.repartition(n_buckets * mult, F.col("bucket"),
+                      F.col("__wsalt"))
+    per_doc = u.groupBy("bucket", "__wsalt", *DOC_KEY).agg(
+        F.max("pid").alias("pathway_id"),
+        F.max("pathway_json").alias("pathway_json"),
+        F.concat_ws(",", F.collect_list("entry")).alias("entities_body"))
+    # docs are DEFINED by their pathway row (the join path keeps all
+    # pathways, drops orphan entity groups) — mirror that exactly
+    return per_doc.filter(F.col("pathway_json").isNotNull()).select(
+        "bucket", "__wsalt", *DOC_KEY, "pathway_id",
+        _assemble(F.col("pathway_json"), F.col("entities_body"))
+        .alias("jsonld"))

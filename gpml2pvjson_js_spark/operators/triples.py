@@ -119,8 +119,12 @@ def pathway_triples(pathways: DataFrame) -> list[DataFrame]:
     return out
 
 
-def build_triples(model: dict, interactions: DataFrame | None = None
-                  ) -> DataFrame:
+def build_triples(model: dict, interactions: DataFrame | None = None,
+                  dedup: bool = True) -> DataFrame:
+    """`dedup=False` returns the raw union and leaves the distinct to
+    the caller — the snapshot pipeline folds it into its bucket
+    shuffle (one full-corpus exchange instead of two, see
+    plans/pipeline.py bucketed_distinct)."""
     parts: list[DataFrame] = []
     parts += entity_triples(model["nodes"])
     parts += edge_triples(model["edges"])
@@ -131,4 +135,4 @@ def build_triples(model: dict, interactions: DataFrame | None = None
     if interactions is not None:
         parts += interaction_triples(interactions)
     out = reduce(lambda a, b: a.unionByName(b), parts)
-    return out.dropDuplicates(TRIPLE_COLS)
+    return out.dropDuplicates(TRIPLE_COLS) if dedup else out

@@ -31,9 +31,44 @@ from ..operators.canonicalize import canonical_map, rewrite_triples
 from ..operators.interactions import classify_interactions
 from ..operators.linking import link_entities, same_as_edges, xref_dictionary
 from ..operators.parse import extracted_text, parse_gpml
-from ..operators.triples import build_triples
+from ..operators.triples import TRIPLE_COLS, build_triples
 
 N_BUCKETS_DEFAULT = 32
+
+
+def _write_mult() -> int:
+    return int(os.environ.get("SPARK_GRAFT_WRITE_TASKS_PER_BUCKET", "2"))
+
+
+def with_bucket_cols(df: DataFrame, n_buckets: int, mult: int,
+                     key: str = "url") -> DataFrame:
+    """Materialize the snapshot layout keys (bucket, __wsalt) as
+    columns — MUST stay expression-identical to SnapshotStore.commit's
+    repartition keys so a pre-bucketed frame lands in the same layout
+    the store would produce itself."""
+    return (df.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64(F.col(key)),
+                       F.lit(n_buckets)).cast("int"))
+              .withColumn(
+                "__wsalt",
+                F.pmod(F.xxhash64(F.col(key), F.lit(1)),
+                       F.lit(mult)).cast("int")))
+
+
+def bucketed_distinct(df: DataFrame, cols: list[str],
+                      n_buckets: int, mult: int) -> DataFrame:
+    """Distinct-on-`cols` fused with the snapshot layout: ONE full
+    exchange hash-partitioned on (bucket, __wsalt) — which satisfies
+    the dedup aggregate's ClusteredDistribution (subset rule; bucket
+    and __wsalt are url functions, so a triple's duplicates all land
+    in one partition) AND the writer's one-dir-per-task layout, where
+    dropDuplicates + commit-repartition would shuffle the full corpus
+    twice."""
+    b = with_bucket_cols(df, n_buckets, mult)
+    b = b.repartition(n_buckets * mult, F.col("bucket"),
+                      F.col("__wsalt"))
+    return b.dropDuplicates(["bucket", "__wsalt"] + cols)
 
 
 class SnapshotStore:
@@ -94,7 +129,17 @@ class SnapshotStore:
         data_path, manifest_path = self._paths(stage)
         t0 = time.time()
         out = df
-        if bucket_col in df.columns:
+        if "bucket" in df.columns and "__wsalt" in df.columns:
+            # PRE-BUCKETED frame (with_bucket_cols layout keys carried
+            # by the operator's own exchange — bucketed_distinct /
+            # jsonld_documents(bucketize=...)): the data is already
+            # hash-partitioned on (bucket, __wsalt), so writing here
+            # without the repartition keeps the one-dir-per-task
+            # layout while skipping a second full-corpus shuffle.
+            out = df.drop("__wsalt")
+            (out.write.mode("overwrite").partitionBy("bucket")
+                .parquet(data_path))
+        elif bucket_col in df.columns:
             out = df.withColumn(
                 "bucket",
                 F.pmod(F.xxhash64(F.col(bucket_col)),
@@ -258,9 +303,15 @@ class Pipeline:
             "interactions": (["edges", "nodes"], lambda:
                              classify_interactions(out["edges"],
                                                    out["nodes"])),
+            # distinct fused with the snapshot layout: one full-corpus
+            # exchange instead of dropDuplicates + commit repartition
             "triples": (MODEL5 + ["interactions"], lambda:
-                        build_triples({k: out[k] for k in MODEL5},
-                                      out["interactions"])),
+                        bucketed_distinct(
+                            build_triples({k: out[k] for k in MODEL5},
+                                          out["interactions"],
+                                          dedup=False),
+                            TRIPLE_COLS, self.store.n_buckets,
+                            _write_mult())),
             "linked": (["nodes"], lambda: link_entities(out["nodes"],
                                                         xd)),
             "canonical_triples": (["triples", "linked"], lambda:
@@ -270,11 +321,14 @@ class Pipeline:
                                           out["linked"],
                                           same_as_edges(out["linked"],
                                                         xd)))),
-            # JSON-LD documents (NDJSON-ready, S5/JS1/JS2)
+            # JSON-LD documents (NDJSON-ready, S5/JS1/JS2); bucketize
+            # folds the grouped assembly into the snapshot layout so
+            # the full document text is shuffled once, not twice
             "documents": (list(MODEL5), lambda: __import__(
                 "gpml2pvjson_js_spark.operators.export",
                 fromlist=["jsonld_documents"]).jsonld_documents(
-                {k: out[k] for k in MODEL5})),
+                {k: out[k] for k in MODEL5},
+                bucketize=(self.store.n_buckets, _write_mult()))),
             # per-url extracted text (the byte-identical invariant)
             "text": ([], lambda: extracted_text(pages)),
         }

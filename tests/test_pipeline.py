@@ -119,3 +119,51 @@ def test_empty_stage_round_trip(spark, tmp_path_factory):
     q = p.store.read(spark, "quarantine")
     assert q.count() == 0
     assert "error" in q.columns  # schema preserved for empty snapshot
+
+
+def test_bucketed_distinct_fuses_dedup_into_one_exchange(spark):
+    """bucketed_distinct == dropDuplicates relationally, with exactly
+    ONE Exchange in the plan: the (bucket, __wsalt) hash partitioning
+    is a subset of the dedup aggregate's grouping keys, so Catalyst
+    must not insert a second shuffle (the whole point of fusing the
+    distinct with the snapshot layout)."""
+    from gpml2pvjson_js_spark.plans.pipeline import bucketed_distinct
+
+    df = spark.range(500).select(
+        F.concat(F.lit("https://d/"), (F.col("id") % 40)).alias("url"),
+        (F.col("id") % 7).alias("frag"),
+        (F.col("id") % 11).cast("string").alias("subj"),
+        F.lit("p").alias("pred"),
+        (F.col("id") % 3).cast("string").alias("obj"))
+    cols = ["url", "frag", "subj", "pred", "obj"]
+    got = bucketed_distinct(df, cols, n_buckets=4, mult=2)
+    expect = {tuple(r) for r in df.dropDuplicates(cols)
+              .select(*cols).collect()}
+    assert {tuple(r) for r in got.select(*cols).collect()} == expect
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, plan[:2000]
+    assert "bucket" in got.columns and "__wsalt" in got.columns
+
+
+def test_jsonld_bucketize_matches_join_path(spark):
+    """jsonld_documents(bucketize=...) must produce the SAME documents
+    as the join path — same (url, frag, pathway_id) keys, same parsed
+    pathway and entitiesById objects (map entry ORDER may differ; JSON
+    object semantics) — while carrying the snapshot layout columns."""
+    from gpml2pvjson_js_spark.operators.assemble import (
+        build_document_model)
+    from gpml2pvjson_js_spark.operators.export import jsonld_documents
+
+    pages = pages_df(spark, 6, giant_every=0)
+    model = build_document_model(spark, pages)
+    base = {(r["url"], r["frag"]): r
+            for r in jsonld_documents(model).collect()}
+    buck = {(r["url"], r["frag"]): r
+            for r in jsonld_documents(model, bucketize=(4, 2)).collect()}
+    assert set(base) == set(buck) and base
+    for k in base:
+        b, g = json.loads(base[k]["jsonld"]), json.loads(buck[k]["jsonld"])
+        assert base[k]["pathway_id"] == buck[k]["pathway_id"]
+        assert b["pathway"] == g["pathway"]
+        assert b["entitiesById"] == g["entitiesById"]
