@@ -447,7 +447,16 @@ def scaling_report() -> None:
                        SPARK_GRAFT_MAX_PARTITION_BYTES=os.environ.get(
                            "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
                        SPARK_GRAFT_OPEN_COST_BYTES=os.environ.get(
-                           "SPARK_GRAFT_OPEN_COST_BYTES", "16m"))
+                           "SPARK_GRAFT_OPEN_COST_BYTES", "16m"),
+                       # Warm the WHOLE fleet: each executor JVM JITs
+                       # independently and sees only 1/n of the warmup
+                       # tasks, so a replicate-1 warmup left the 4-exec
+                       # leg's code cold (+24% task CPU in the measured
+                       # window). A 100 TB job is always warm; 32x
+                       # sf0.001 (~3% of an sf0.01 r512 leg) warms all
+                       # executors equally at both levels.
+                       SPARK_GRAFT_WARMUP_REPLICATE=os.environ.get(
+                           "SPARK_GRAFT_WARMUP_REPLICATE", "32"))
             env["PYTHONPATH"] = os.path.dirname(
                 os.path.abspath(__file__)) + (
                 ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
