@@ -339,6 +339,20 @@ def q_ann_lsh(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN: spherical-k-means coarse cells, the
+    corpus scanned once and broadcast-probed by the queries' nprobe
+    nearest cells (no corpus shuffle; no oracle by nature —
+    approximate, recall pinned in tests/test_training_ops.py)."""
+    from gpml2pvjson_js_spark.operators.similarity import cosine_topk_ivf
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = cosine_topk_ivf(emb, queries, k=5, n_cells=16, nprobe=4)
+    return out.select("q_id", "nbr_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
 def q_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs, exact baseline (the
     oracle-checked reference; the LSH-blocked scale path is pinned by
@@ -556,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "cosine_neardup": q_cosine_neardup,
         "affine_transform": q_affine_transform,
         "multimodal_features": q_multimodal_features,

@@ -276,3 +276,121 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
         .withColumn("rank", F.row_number().over(w)) \
         .filter(F.col("rank") <= k) \
         .select("q_id", "nbr_id", "cosine", "rank")
+
+
+# ----------------------------------------------------------------- IVF
+
+def train_ivf_centroids(embeddings: DataFrame, n_cells: int,
+                        sample_rows: int = 16384, iters: int = 8,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF, trained on a
+    BOUNDED deterministic sample (the standard IVF recipe — e.g.
+    FAISS trains its coarse quantizer on a sample, not the corpus):
+
+    - sample = the `sample_rows` lowest xxhash64(id) rows. Spark
+      executes orderBy+limit as TakeOrderedAndProject (per-partition
+      top-n + driver merge), so the sample costs one corpus scan and
+      O(sample) driver memory at any corpus size — no full sort.
+    - Lloyd iterations run in numpy on the driver over the sample
+      (n_cells x dim matrix out; microseconds at coarse-quantizer
+      sizes). Initialization is the first n_cells hash-ordered rows —
+      deterministic, no RNG state.
+    - rows and centroids are L2-normalized (spherical k-means), so
+      nearest-centroid-by-dot-product == nearest by cosine.
+
+    Returns (n_cells, dim) float64, rows L2-normalized. Empty cells
+    keep their previous centroid (deterministic, no resampling)."""
+    rows = (embeddings
+            .select(F.col(vec_col).cast("array<double>").alias("v"),
+                    F.xxhash64(F.col(id_col)).alias("__h"))
+            .orderBy("__h").limit(sample_rows).collect())
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    if x.shape[0] < n_cells:
+        raise ValueError(
+            f"sample has {x.shape[0]} usable rows < n_cells={n_cells}")
+    cent = x[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def _ivf_cells_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Arrow-batched cell assignment: one (batch x dim) @ (dim x k)
+    matmul per batch, returning the `nprobe` nearest cell ids per
+    row (nprobe=1 for the corpus side, >1 for query-side probing).
+    The centroid matrix rides the UDF closure (a few hundred KB at
+    coarse sizes) — the broadcast-dictionary pattern."""
+    from pyspark.sql.functions import pandas_udf
+
+    ct = centroids.T.copy()
+
+    @pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype=object)
+        x = np.array(v.to_list(), dtype=np.float64)
+        n = np.linalg.norm(x, axis=1)
+        n[n == 0] = 1.0
+        sims = (x / n[:, None]) @ ct
+        if nprobe == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            p = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    return cells
+
+
+def cosine_topk_ivf(embeddings: DataFrame, queries: DataFrame,
+                    k: int = 5, n_cells: int = 16, nprobe: int = 4,
+                    centroids: np.ndarray | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells: every corpus
+    vector is assigned to its nearest coarse centroid; a query scores
+    only vectors in its `nprobe` nearest cells.
+
+    Spark-first shape: the corpus side is ONE scan + one Arrow matmul
+    producing a cell id — it never shuffles. Queries (small side)
+    explode to (q_id, cell) probe rows and BROADCAST-join the corpus
+    on cell, so candidate selection is a map-side hash join; the only
+    shuffle in the plan is the final per-query top-k window over
+    candidates (~nprobe/n_cells of the corpus instead of all of it).
+    At 100 TB: n_cells grows to ~sqrt(N) and the same plan holds —
+    scan + broadcast probe + bounded window.
+
+    recall/coverage contract vs brute force is pinned in
+    tests/test_training_ops.py (clustered corpus)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_cells,
+                                        id_col=id_col, vec_col=vec_col)
+    e = embeddings.select(F.col(id_col).alias("nbr_id"),
+                          F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select("q_id", F.col("q_vec").cast("array<double>"))
+    e_cells = e.withColumn(
+        "cell", _ivf_cells_udf(centroids, 1)(F.col("v"))[0])
+    q_probes = q.select(
+        "q_id",
+        F.explode(_ivf_cells_udf(centroids, nprobe)(F.col("q_vec")))
+        .alias("cell"))
+    cand = e_cells.join(F.broadcast(q_probes), "cell") \
+        .filter(F.col("nbr_id") != F.col("q_id"))
+    scored = cand.join(F.broadcast(q), "q_id")
+    cos = _cosine_udf()(F.col("v"), F.col("q_vec"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return scored.withColumn("cosine", cos) \
+        .filter(F.col("cosine").isNotNull()) \
+        .withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k) \
+        .select("q_id", "nbr_id", "cosine", "rank")

@@ -10,7 +10,8 @@ from gpml2pvjson_js_spark.operators.dedup import (
 from gpml2pvjson_js_spark.operators.multimodal import (
     FEATURE_DIM, extract_features, frame_sample_plan, synthesize_media)
 from gpml2pvjson_js_spark.operators.similarity import (
-    cosine_topk_bruteforce, cosine_topk_lsh)
+    cosine_topk_bruteforce, cosine_topk_ivf, cosine_topk_lsh,
+    train_ivf_centroids)
 from gpml2pvjson_js_spark.operators.text_analysis import (
     language_id, quality_score, token_counts)
 
@@ -390,3 +391,42 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=500)
     vids = media.filter(F.col("kind") == "video").count()
     assert plan.count() == vids * 3  # 0, 500, 1000
+
+
+def test_ann_ivf_recall_clustered(spark):
+    """IVF scale path: on a clustered corpus (the case IVF exists
+    for), nprobe=4 of 16 cells keeps top-5 recall >= 0.9 vs brute
+    force while scoring only a fraction of the corpus; the coarse
+    quantizer is deterministic (same centroids across two trainings).
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 16, 16, 40
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    v = np.repeat(centers, per, axis=0) \
+        + rng.normal(size=(n_clusters * per, dim)) * 0.15
+    rows = [(i, v[i].tolist()) for i in range(len(v))]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 40 == 0).limit(6).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"))
+
+    cent1 = train_ivf_centroids(emb, 16, sample_rows=640)
+    cent2 = train_ivf_centroids(emb, 16, sample_rows=640)
+    assert np.array_equal(cent1, cent2)  # deterministic training
+
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = cosine_topk_ivf(emb, q, k=5, n_cells=16, nprobe=4,
+                             centroids=cent1).collect()
+    by_q_exact, by_q_approx = {}, {}
+    for r in exact:
+        by_q_exact.setdefault(r["q_id"], set()).add(r["nbr_id"])
+    for r in approx:
+        by_q_approx.setdefault(r["q_id"], set()).add(r["nbr_id"])
+    hits = sum(len(by_q_exact[qid] & by_q_approx.get(qid, set()))
+               for qid in by_q_exact)
+    total = sum(len(s) for s in by_q_exact.values())
+    assert hits / total >= 0.9, f"IVF recall {hits/total} < 0.9"
