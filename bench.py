@@ -550,14 +550,24 @@ in one JVM is 6.5x slower outright (G1 tracing a ~57 GB live set
 that four separate heaps never form) — full history in
 BENCH/PLANS.md.
 
+One known bias, in the CONSERVATIVE direction: the N leg's single
+executor does 100% of its shuffle fetches process-locally, while
+the 4N fleet fetches 75% remotely — a real N-node fleet would pay
+network on BOTH legs, so the measured efficiency UNDERSTATES true
+N -> 4N scaling. The symmetric alternative (single-core-executor
+fleets, 4x1c vs 16x1c) was measured and rejected — a 1-core JVM
+oversubscribes its pinned core with task + shuffle-server + GC
+threads (eff 0.29 at 512x); the staging-mode A/Bs behind
+SPARK_GRAFT_STAGE_STORAGE are in BENCH/PLANS.md round-4.
+
 Model: T(c) = S + W/c with S = parallelism-independent seconds
 (per-stage Catalyst planning, snapshot-commit latency, AQE
 re-planning, job scheduling -- independent of data size) and W =
 parallel core-seconds (grows linearly with data). Efficiency
-(T_N/T_4N)/4 therefore depends only on W/S; the series shows it
-climbing as the corpus grows while fitted S stays flat -- i.e. the
-0.8 criterion is a property of workload size per stage, and the
-largest measured point clears it. At the 100 TB design point each
+(T_N/T_4N)/4 is a function of W/S, so the honest sandbox evidence
+is the measured TREND as the corpus grows -- each row below is the
+same job at both fleets, corpus doubling per row. At the 100 TB
+design point each
 stage runs for hours, so W/S sits 3-4 orders of magnitude beyond
 even the largest row below.
 

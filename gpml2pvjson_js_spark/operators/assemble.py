@@ -23,6 +23,26 @@ _STAGE_LEVELS = {
 }
 
 
+_SCRATCH: dict = {}
+
+
+def _scratch_root() -> str:
+    """Per-process scratch root for parquet staging: explicit env
+    override, else under the first SPARK_LOCAL_DIRS entry (the legs
+    point that at tmpfs; a real cluster points it at job-scoped
+    shared storage), else the system tempdir."""
+    import os
+    import tempfile
+    if "root" not in _SCRATCH:
+        base = os.environ.get("SPARK_GRAFT_STAGE_SCRATCH")
+        if not base:
+            local = os.environ.get("SPARK_LOCAL_DIRS", "").split(",")[0]
+            base = local or None
+        _SCRATCH["root"] = tempfile.mkdtemp(prefix="kgstage_", dir=base)
+        _SCRATCH["n"] = 0
+    return _SCRATCH["root"]
+
+
 def _stage(df: DataFrame) -> DataFrame:
     """Fan-out staging, mode via SPARK_GRAFT_STAGE_STORAGE:
 
@@ -31,18 +51,34 @@ def _stage(df: DataFrame) -> DataFrame:
       construction alone costs 80+ s) and the execution lineage,
       without the deserialized-row block storage that GC-thrashes at
       high parallelism. Best single-node latency; block ser/deser is
-      memory-bandwidth-bound, so thread-scaling tops out early.
-    - "none": pure lazy pass-through — the multi-executor cluster
-      analog (no single shared block manager exists there; fan-out
-      subtrees re-execute or reuse shuffle materialization). Highest
-      32-core throughput and ~1.0 N -> 4N scaling efficiency; pays a
-      one-time driver plan-analysis cost, amortized at scale.
+      memory-bandwidth-bound, so thread-scaling tops out early. On a
+      MULTI-executor fleet every consumer task fetches the full-width
+      row blocks (75% remotely at 4 executors) — the block manager
+      cannot prune columns.
+    - "parquet": write the frame once to scratch parquet and re-read
+      it — the multi-executor scale path. Consumers become parquet
+      scans again, so Catalyst prunes columns per subtree (the wide
+      `converted` frame fans out into ~6 consumers that each need a
+      slice of it) and the bytes that do move are columnar-compressed
+      instead of kryo rows. Plan and lineage are cut exactly as with
+      a checkpoint. Scratch root: SPARK_GRAFT_STAGE_SCRATCH, else
+      SPARK_LOCAL_DIRS (the same device shuffle scratch uses).
+    - "none": pure lazy pass-through — fan-out subtrees re-execute or
+      reuse shuffle materialization; pays a one-time driver
+      plan-analysis cost (80+ s at sf0.1), amortized only on very
+      long jobs.
     - "disk": DISK_ONLY blocks (page-cache backed, zero heap).
-    All three modes measured in BENCH/PLANS.md."""
+    All modes measured in BENCH/PLANS.md."""
     import os
     mode = os.environ.get("SPARK_GRAFT_STAGE_STORAGE", "ser")
     if mode == "none":
         return df
+    if mode == "parquet":
+        root = _scratch_root()
+        _SCRATCH["n"] += 1
+        path = os.path.join(root, f"s{_SCRATCH['n']:03d}")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.schema(df.schema).parquet(path)
     return df.localCheckpoint(
         eager=False,
         storageLevel=_STAGE_LEVELS.get(mode,
@@ -89,7 +125,18 @@ def _with_burrs(hosts: DataFrame, burrs: DataFrame) -> DataFrame:
 
 
 def build_document_model(spark: SparkSession, pages: DataFrame,
-                         mentions: DataFrame | None = None) -> dict:
+                         mentions: DataFrame | None = None,
+                         stage_outputs: bool = True) -> dict:
+    """`stage_outputs=False` skips the checkpoint on the RETURNED
+    frames (internal fan-out staging is unaffected). The snapshot
+    pipeline uses it: each returned frame has exactly ONE consumer
+    there — the stage commit that writes it to parquet — so staging
+    it first would serialize every row twice (checkpoint blocks, then
+    parquet; at 4 executors the commit's scan also fetches 75% of
+    those blocks remotely). Callers that consume the model frames
+    repeatedly WITHOUT committing them (the lazy-DAG path) keep the
+    default: without the cut, the 20-branch triples union re-inlines
+    the whole join DAG into one multi-MB plan."""
     if mentions is None:
         mentions = parse_gpml(pages)
 
@@ -211,16 +258,18 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
                                F.array().cast("array<string>")))
     )
 
-    # stage the final frames as well: every downstream consumer
-    # (interactions, triples, linking) references nodes/edges several
-    # times — without the cut, the 20-branch triples union re-inlines
-    # the whole join DAG into one multi-MB plan
+    # stage the final frames (unless the caller commits them itself —
+    # see docstring): every downstream consumer (interactions,
+    # triples, linking) references nodes/edges several times —
+    # without the cut, the 20-branch triples union re-inlines the
+    # whole join DAG into one multi-MB plan
+    out_stage = _stage if stage_outputs else (lambda df: df)
     return {
         "mentions": ok,
         "quarantine": quarantine,
-        "nodes": _stage(nodes),
-        "edges": _stage(edges3),
-        "citations": _stage(citations),
-        "vocabularies": _stage(vocabularies),
-        "pathways": _stage(pathways),
+        "nodes": out_stage(nodes),
+        "edges": out_stage(edges3),
+        "citations": out_stage(citations),
+        "vocabularies": out_stage(vocabularies),
+        "pathways": out_stage(pathways),
     }
