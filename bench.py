@@ -464,9 +464,16 @@ def scaling_report() -> None:
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True,
                 timeout=14400)
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
+            lines = [l for l in out.stdout.splitlines()
+                     if l.startswith("{")]
+            if not lines:
+                # surface the subprocess failure instead of dying on
+                # an IndexError with the cause discarded
+                raise RuntimeError(
+                    f"scaling leg {leg_key} produced no result "
+                    f"(rc={out.returncode}); stderr tail:\n"
+                    + "\n".join(out.stderr.splitlines()[-30:]))
+            results[cpus] = json.loads(lines[-1])
             legs[leg_key] = results[cpus]
             _save_legs(legs)
             print(json.dumps({"point": {"replicate": replicate,
