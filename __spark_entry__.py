@@ -367,6 +367,22 @@ def q_cosine_neardup(spark, sf_dir):
     return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_cosine_neardup_lsh(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-blocked SCALE path
+    (the variant that runs at 100 TB: id-only multi-table sign-LSH
+    bucket self-join + exact-cosine verify — never all-pairs). No
+    oracle by nature (approximate recall; pinned >= threshold vs the
+    exact method in tests/test_training_ops.py); registered so the
+    driver exercises the scale path, not just the crossJoin
+    baseline."""
+    from gpml2pvjson_js_spark.operators.similarity import (
+        cosine_neardup_pairs)
+    emb = _read(spark, sf_dir, "embeddings")
+    out = cosine_neardup_pairs(emb, threshold=0.3, method="lsh",
+                               max_bucket=4096)
+    return out.select("a", "b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_affine_transform(spark, sf_dir):
     """Affine transform of element bounding boxes (reference
     geom-utils transform(), src/geom-utils.ts:596-686) — a pure
@@ -407,6 +423,7 @@ def q_multimodal_features(spark, sf_dir):
     media = synthesize_media(spark, 64)
     f = extract_features(media)
     return f.select("media_id", "kind", "n_bytes", "decode_status",
+                    "width", "height", "duration_ms",
                     F.round(F.aggregate(
                         F.col("feature").cast("array<double>"), F.lit(0.0),
                         lambda a, v: a + v), 4).alias("feature_sum"))
@@ -572,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "cosine_neardup": q_cosine_neardup,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "affine_transform": q_affine_transform,
         "multimodal_features": q_multimodal_features,
         # skew handling (salting: same values as unsalted oracle)

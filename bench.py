@@ -32,10 +32,7 @@ SCALING_SF_DIR = os.environ.get("SPARK_GRAFT_SCALING_SF_DIR",
                                 "/root/testdata/sf0.01")
 
 
-def load_sanity() -> dict:
-    """Pre-flight machine-state check, recorded in every result JSON:
-    a contaminated run (stray JVMs / busy box) self-identifies instead
-    of silently poisoning cross-round comparisons."""
+def _probe_box() -> tuple[float, list[str]]:
     load1 = os.getloadavg()[0]
     strays = []
     try:
@@ -46,8 +43,44 @@ def load_sanity() -> dict:
                   if "pgrep" not in l]
     except Exception:
         pass
+    return load1, strays
+
+
+def load_sanity() -> dict:
+    """Pre-flight machine-state gate, recorded in every result JSON.
+
+    A busy box / stray JVMs would silently poison cross-round
+    comparisons (round 4 shipped a `contaminated: true` artifact while
+    the clean number lived only in prose). So the preflight now WAITS
+    for the box to go idle (up to SPARK_GRAFT_PREFLIGHT_WAIT s,
+    default 600 — long enough for a finishing pytest/driver JVM to
+    exit and its load to decay) and, if it never does, REFUSES to
+    produce a number (exit 2) instead of emitting a poisoned one.
+    SPARK_GRAFT_PREFLIGHT=warn restores flag-and-proceed for
+    debugging."""
+    deadline = time.time() + int(
+        os.environ.get("SPARK_GRAFT_PREFLIGHT_WAIT", "600"))
+    load1, strays = _probe_box()
+    waited = 0.0
+    while (load1 > 2.0 or strays) and time.time() < deadline:
+        print(f"bench preflight: load1={load1:.1f}, {len(strays)} stray "
+              "java/pytest processes — waiting for idle box",
+              file=sys.stderr)
+        time.sleep(10)
+        waited += 10
+        load1, strays = _probe_box()
     info = {"load1_before": round(load1, 2), "n_stray_jvms": len(strays)}
+    if waited:
+        info["preflight_waited_s"] = round(waited, 1)
     if load1 > 2.0 or strays:
+        if os.environ.get("SPARK_GRAFT_PREFLIGHT", "strict") != "warn":
+            print(f"bench preflight REFUSED: load1={load1:.1f}, "
+                  f"{len(strays)} stray java/pytest processes after "
+                  f"waiting {waited:.0f}s — a measurement now would be "
+                  "contaminated. Idle the box (or set "
+                  "SPARK_GRAFT_PREFLIGHT=warn to flag-and-proceed) and "
+                  "re-run.", file=sys.stderr)
+            sys.exit(2)
         info["contaminated"] = True
         print(f"WARNING: bench preflight: load1={load1:.1f}, "
               f"{len(strays)} stray java/pytest processes — numbers "

@@ -24,23 +24,64 @@ _STAGE_LEVELS = {
 
 
 _SCRATCH: dict = {}
+_SCRATCH_LOCK = __import__("threading").Lock()
 
 
-def _scratch_root() -> str:
+def _cleanup_scratch() -> None:
+    """Staged frames are process-lifetime scratch; remove the root on
+    interpreter exit so repeated runs don't leak kgstage_* dirs on
+    tmpfs (crashed runs can still leave them behind — they are safe to
+    delete)."""
+    import shutil
+    root = _SCRATCH.get("root")
+    if root:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _scratch_root(spark_master: str | None = None) -> str:
     """Per-process scratch root for parquet staging: explicit env
     override, else under the first SPARK_LOCAL_DIRS entry (the legs
-    point that at tmpfs; a real cluster points it at job-scoped
-    shared storage), else the system tempdir."""
+    point that at tmpfs), else the system tempdir.
+
+    Both fallbacks are DRIVER-LOCAL paths, which is only correct when
+    the executors share the driver's filesystem (local / local-cluster
+    masters): on a real multi-node cluster executors would write
+    partitions to their own nodes while the driver lists only its
+    local path, silently yielding incomplete frames. Parquet staging
+    on such a cluster therefore REQUIRES SPARK_GRAFT_STAGE_SCRATCH to
+    name job-scoped shared storage, and we fail fast instead of
+    returning partial data."""
+    import atexit
     import os
     import tempfile
-    if "root" not in _SCRATCH:
-        base = os.environ.get("SPARK_GRAFT_STAGE_SCRATCH")
-        if not base:
-            local = os.environ.get("SPARK_LOCAL_DIRS", "").split(",")[0]
-            base = local or None
-        _SCRATCH["root"] = tempfile.mkdtemp(prefix="kgstage_", dir=base)
-        _SCRATCH["n"] = 0
-    return _SCRATCH["root"]
+    with _SCRATCH_LOCK:
+        if "root" not in _SCRATCH:
+            base = os.environ.get("SPARK_GRAFT_STAGE_SCRATCH")
+            if not base:
+                if spark_master and not spark_master.startswith(
+                        ("local", "local-cluster")):
+                    raise RuntimeError(
+                        "SPARK_GRAFT_STAGE_STORAGE=parquet on a "
+                        f"non-local master ({spark_master!r}) requires "
+                        "SPARK_GRAFT_STAGE_SCRATCH to point at shared "
+                        "storage reachable from every executor — a "
+                        "driver-local tempdir would silently drop the "
+                        "partitions other nodes wrote.")
+                local = os.environ.get("SPARK_LOCAL_DIRS",
+                                       "").split(",")[0]
+                base = local or None
+            _SCRATCH["root"] = tempfile.mkdtemp(prefix="kgstage_",
+                                                dir=base)
+            _SCRATCH["n"] = 0
+            atexit.register(_cleanup_scratch)
+        return _SCRATCH["root"]
+
+
+def _next_stage_path() -> str:
+    import os
+    with _SCRATCH_LOCK:
+        _SCRATCH["n"] += 1
+        return os.path.join(_SCRATCH["root"], f"s{_SCRATCH['n']:03d}")
 
 
 def _stage(df: DataFrame) -> DataFrame:
@@ -74,9 +115,8 @@ def _stage(df: DataFrame) -> DataFrame:
     if mode == "none":
         return df
     if mode == "parquet":
-        root = _scratch_root()
-        _SCRATCH["n"] += 1
-        path = os.path.join(root, f"s{_SCRATCH['n']:03d}")
+        _scratch_root(df.sparkSession.conf.get("spark.master", None))
+        path = _next_stage_path()
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.schema(df.schema).parquet(path)
     return df.localCheckpoint(
@@ -128,15 +168,18 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
                          mentions: DataFrame | None = None,
                          stage_outputs: bool = True) -> dict:
     """`stage_outputs=False` skips the checkpoint on the RETURNED
-    frames (internal fan-out staging is unaffected). The snapshot
-    pipeline uses it: each returned frame has exactly ONE consumer
-    there — the stage commit that writes it to parquet — so staging
-    it first would serialize every row twice (checkpoint blocks, then
-    parquet; at 4 executors the commit's scan also fetches 75% of
-    those blocks remotely). Callers that consume the model frames
-    repeatedly WITHOUT committing them (the lazy-DAG path) keep the
-    default: without the cut, the 20-branch triples union re-inlines
-    the whole join DAG into one multi-MB plan."""
+    frames (internal fan-out staging is unaffected). It exists for a
+    SINGLE-consumer caller — one that writes each frame exactly once
+    and never re-reads it — where the checkpoint would serialize every
+    row twice. The snapshot pipeline deliberately keeps the default ON
+    despite looking single-consumer: its five model frames share
+    subtrees (edges feed nodes' z-map and pathways' contains-agg), so
+    the checkpoints dedupe that work across five CONCURRENT commits —
+    measured +16% slower without them on a 4-executor fleet (156.3 s
+    vs 134.4 s at replicate 512, BENCH/PLANS.md round 4). The lazy-DAG
+    path also keeps the default: without the cut, the 20-branch
+    triples union re-inlines the whole join DAG into one multi-MB
+    plan."""
     if mentions is None:
         mentions = parse_gpml(pages)
 

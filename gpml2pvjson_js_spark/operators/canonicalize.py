@@ -22,6 +22,33 @@ deferred DAG (a blocking per-round count() was measured to serialize
 the pipeline at high parallelism). Each round localCheckpoints with
 SERIALIZED storage to cut the iterative lineage without the
 deserialized-row GC thrash.
+
+Scaling structure (round 5): real sameAs graphs are dominated by
+size-1/size-2 components and leaf-heavy stars (every corpus mention is
+a degree-1 leaf hanging off its linked IRI), so the iterative loop is
+the wrong tool for ~all of the data. `connected_components` therefore
+LEAF-PEELS first — exactly, for arbitrary graphs:
+
+  1. degree-1 nodes and size-2 components resolve in ONE pass
+     (a leaf's component is its unique neighbor's component; an
+     isolated pair keys itself by its min member);
+  2. the pointer-doubling loop runs only on the 2-core subgraph
+     (edges whose BOTH endpoints have degree >= 2) — empty or tiny on
+     realistic sameAs distributions, so the per-round barrier latency
+     that held N->4N scaling at ~1.2x applies to a near-empty frame;
+  3. a final per-component min over ALL members (core + leaves)
+     restores the exact representative semantics (a leaf that is the
+     min-ranked member still wins).
+
+`canonicalize_linked` goes one step further for the pipeline's OWN
+edge shape: `link_entities` emits at most ONE link edge per mention
+(the exact and similarity paths partition mentions disjointly and each
+keeps a single best match), so mentions can never merge two IRI
+components. Components of the full sameAs graph are exactly the
+components of the DICTIONARY-scale alias graph plus mention leaves —
+the iterative CC never touches a corpus-sized frame at all, and the
+mention->component assignment is one broadcastable join. Exactness vs
+the generic path is pinned by test_canonicalize_linked_matches_generic.
 """
 
 from __future__ import annotations
@@ -56,18 +83,20 @@ def _unranked(col: Column) -> Column:
     return F.substring(col, 2, 2147483647)
 
 
-def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS,
-                         check_convergence: bool = False) -> DataFrame:
-    """edges(src, dst) undirected -> (id, component); component is the
-    min-ranked member (IRIs preferred over mention keys).
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _cc_iterative(sym: DataFrame, max_rounds: int,
+                  check_convergence: bool) -> DataFrame:
+    """Pointer-doubling min-label propagation over a SYMMETRIC,
+    distinct edge frame -> (id, lbl) with lbl still RANK-PREFIXED.
 
     check_convergence=True adds a driver-side changed-row count per
     round (early exit) — useful in tests, NOT in the production DAG.
     """
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=False, storageLevel=_SER)
-
     labels = sym.select(F.col("src").alias("id")).distinct() \
         .withColumn("lbl", _ranked(F.col("id")))
 
@@ -110,7 +139,80 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS,
                 break
         else:
             labels = new_labels
-    return labels.select("id", _unranked(F.col("lbl")).alias("component"))
+    return labels
+
+
+def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS,
+                         check_convergence: bool = False) -> DataFrame:
+    """edges(src, dst) undirected -> (id, component); component is the
+    min-ranked member (IRIs preferred over mention keys).
+
+    Exact leaf-peeling (see module docstring): the iterative loop runs
+    only on the 2-core (edges whose both endpoints have degree >= 2);
+    degree-1 leaves, isolated pairs, and star centers resolve without
+    iteration. The decomposition is exact for arbitrary graphs:
+
+    - removing a degree-1 node never disconnects a component, so 2-core
+      components are components of the residual graph;
+    - a degree->=2 node with NO 2-core edge has only leaf neighbors, so
+      its component is exactly itself + its leaves (a leaf cannot
+      connect two such centers — it has one edge);
+    - a leaf whose unique neighbor is also a leaf forms an isolated
+      pair (keyed by its min-ranked member, the same key from both
+      sides);
+    - the final per-key min over ALL members restores the exact
+      representative (a leaf that is the component's min still wins).
+    """
+    sym = _symmetrize(edges).localCheckpoint(eager=False,
+                                             storageLevel=_SER)
+    # node degree (sym is distinct, so count == degree)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    deg_s = deg.select(F.col("src").alias("id_s"),
+                       F.col("deg").alias("deg_s"))
+    deg_d = deg.select(F.col("src").alias("id_d"),
+                       F.col("deg").alias("deg_d"))
+    core_sym = sym.join(deg_s, sym.src == F.col("id_s")) \
+        .join(deg_d, sym.dst == F.col("id_d")) \
+        .filter((F.col("deg_s") >= 2) & (F.col("deg_d") >= 2)) \
+        .select("src", "dst") \
+        .localCheckpoint(eager=False, storageLevel=_SER)
+    core_lbl = _cc_iterative(core_sym, max_rounds, check_convergence) \
+        .select(F.col("id").alias("c_id"), F.col("lbl").alias("c_lbl"))
+
+    # provisional component KEY per node — equal across a component:
+    #   core node            -> its core label
+    #   non-core center      -> its own ranked id (anchors its star)
+    #   leaf on a center     -> coalesce(core label, ranked(center))
+    #   leaf on a leaf       -> min ranked of the pair
+    centers = deg.filter(F.col("deg") >= 2) \
+        .select(F.col("src").alias("id"))
+    center_key = centers.join(core_lbl, centers.id == F.col("c_id"),
+                              "left") \
+        .select("id",
+                F.coalesce("c_lbl", _ranked(F.col("id"))).alias("key"))
+
+    leaves = sym.join(
+        deg.filter(F.col("deg") == 1).select(F.col("src").alias("leaf")),
+        sym.src == F.col("leaf"),
+    ).select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+    nbr_deg = deg.select(F.col("src").alias("n_id"),
+                         F.col("deg").alias("n_deg"))
+    leaf_key = leaves.join(nbr_deg, leaves.nbr == F.col("n_id")) \
+        .join(core_lbl, leaves.nbr == F.col("c_id"), "left") \
+        .select(
+            "id",
+            F.when(F.col("n_deg") == 1,
+                   F.least(_ranked(F.col("id")), _ranked(F.col("nbr"))))
+             .otherwise(F.coalesce(F.col("c_lbl"),
+                                   _ranked(F.col("nbr"))))
+             .alias("key"))
+
+    keyed = center_key.unionByName(leaf_key)
+    rep = keyed.groupBy("key").agg(
+        F.min(_ranked(F.col("id"))).alias("rep"))
+    return keyed.join(rep, "key") \
+        .select("id", _unranked(F.col("rep")).alias("component"))
 
 
 def canonical_map(linked: DataFrame, same_as: DataFrame,
@@ -126,6 +228,39 @@ def canonical_map(linked: DataFrame, same_as: DataFrame,
                   m.mkey == F.col("mkey2"), "left") \
         .select("url", "frag", "id",
                 F.coalesce("component", "canonical_iri").alias("canonical")) \
+        .dropDuplicates(["url", "frag", "id"])
+
+
+def canonicalize_linked(linked: DataFrame,
+                        xref_dict: DataFrame) -> DataFrame:
+    """Pipeline fast path for `canonical_map(linked,
+    same_as_edges(linked, xref_dict))` — identical output (pinned by
+    test_canonicalize_linked_matches_generic), different plan shape.
+
+    Why it is exact: link edges attach each mention to AT MOST one IRI
+    (see `same_as_edges`), so every mention is a degree-1 leaf of the
+    sameAs graph and components of the full graph are exactly the
+    components of the dictionary-internal alias graph with mention
+    leaves attached. Mention keys rank below IRIs, and every component
+    containing a mention contains an IRI (its link target), so the
+    representative is always the alias-component's min IRI.
+
+    Why it scales: the iterative CC runs ONLY on the alias graph
+    (dictionary-scale, corpus-size-independent — BridgeDb-sized at
+    worst), and the mention->component assignment is a single equi
+    join of `linked` against that small component map (AQE broadcasts
+    it at runtime). The generic path instead symmetrized + iterated
+    over a corpus-sized node set; its per-round barriers were the
+    named non-scaling tail in the N->4N series (BENCH/PLANS.md
+    round-4 final)."""
+    from .linking import alias_edges
+    comp = connected_components(alias_edges(xref_dict)) \
+        .withColumnRenamed("id", "c_iri")
+    m = linked.filter(F.col("canonical_iri").isNotNull())
+    return m.join(comp, m.canonical_iri == F.col("c_iri"), "left") \
+        .select("url", "frag", "id",
+                F.coalesce("component", "canonical_iri")
+                .alias("canonical")) \
         .dropDuplicates(["url", "frag", "id"])
 
 

@@ -195,15 +195,27 @@ def link_entities(nodes: DataFrame, xref_dict: DataFrame,
     return exact.unionByName(sim)
 
 
-def same_as_edges(linked: DataFrame, xref_dict: DataFrame) -> DataFrame:
-    """owl:sameAs pairs: dictionary aliases plus entity->canonical
-    links; input to connected-components canonicalization."""
-    alias_edges = xref_dict.filter(F.col("alias_of_iri").isNotNull()) \
+def alias_edges(xref_dict: DataFrame) -> DataFrame:
+    """Dictionary-internal owl:sameAs pairs (IRI -> IRI). DICTIONARY-
+    scale — independent of corpus size — which is what lets
+    `canonicalize_linked` keep the iterative CC off corpus frames."""
+    return xref_dict.filter(F.col("alias_of_iri").isNotNull()) \
         .select(F.col("canonical_iri").alias("src"),
                 F.col("alias_of_iri").alias("dst"))
+
+
+def same_as_edges(linked: DataFrame, xref_dict: DataFrame) -> DataFrame:
+    """owl:sameAs pairs: dictionary aliases plus entity->canonical
+    links; input to connected-components canonicalization.
+
+    Structural invariant consumed by `canonicalize_linked`: the link
+    edges attach each mention key to AT MOST ONE IRI — `link_entities`
+    partitions mentions disjointly between the exact and similarity
+    paths and each path keeps a single best match — so mention nodes
+    are always degree-1 leaves and never merge two IRI components."""
     link_edges = linked.filter(F.col("canonical_iri").isNotNull()).select(
         F.concat_ws("#", "url", F.col("frag").cast("string"),
                     "id").alias("src"),
         F.col("canonical_iri").alias("dst"),
     )
-    return alias_edges.unionByName(link_edges).distinct()
+    return alias_edges(xref_dict).unionByName(link_edges).distinct()

@@ -294,13 +294,18 @@ def train_ivf_centroids(embeddings: DataFrame, n_cells: int,
       O(sample) driver memory at any corpus size — no full sort.
     - Lloyd iterations run in numpy on the driver over the sample
       (n_cells x dim matrix out; microseconds at coarse-quantizer
-      sizes). Initialization is the first n_cells hash-ordered rows —
-      deterministic, no RNG state.
+      sizes). Initialization is the first n_cells DISTINCT
+      hash-ordered rows — deterministic, no RNG state. Distinctness
+      matters on replicated corpora: duplicate seed vectors would
+      collapse two cells onto one centroid and argmax tie-breaking
+      then starves the twin forever, silently shrinking the effective
+      cell count. Cells that still come up empty are reseeded from
+      the sample point farthest from its assigned centroid
+      (deterministic; the standard empty-cluster repair).
     - rows and centroids are L2-normalized (spherical k-means), so
       nearest-centroid-by-dot-product == nearest by cosine.
 
-    Returns (n_cells, dim) float64, rows L2-normalized. Empty cells
-    keep their previous centroid (deterministic, no resampling)."""
+    Returns (n_cells, dim) float64, rows L2-normalized."""
     rows = (embeddings
             .select(F.col(vec_col).cast("array<double>").alias("v"),
                     F.xxhash64(F.col(id_col)).alias("__h"))
@@ -311,9 +316,17 @@ def train_ivf_centroids(embeddings: DataFrame, n_cells: int,
     if x.shape[0] < n_cells:
         raise ValueError(
             f"sample has {x.shape[0]} usable rows < n_cells={n_cells}")
-    cent = x[:n_cells].copy()
+    # first n_cells DISTINCT rows in hash order (see docstring)
+    _, first_idx = np.unique(x.round(12), axis=0, return_index=True)
+    uniq = x[np.sort(first_idx)]
+    cent = (uniq if uniq.shape[0] >= n_cells else x)[:n_cells].copy()
     for _ in range(iters):
-        assign = np.argmax(x @ cent.T, axis=1)
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        # farthest-from-assigned-centroid points, for empty-cell reseed
+        far_order = np.argsort(sims[np.arange(len(x)), assign],
+                               kind="stable")
+        fi = 0
         for c in range(n_cells):
             members = x[assign == c]
             if len(members):
@@ -321,6 +334,9 @@ def train_ivf_centroids(embeddings: DataFrame, n_cells: int,
                 n = np.linalg.norm(m)
                 if n > 0:
                     cent[c] = m / n
+            elif fi < len(far_order):
+                cent[c] = x[far_order[fi]]
+                fi += 1
     return cent
 
 

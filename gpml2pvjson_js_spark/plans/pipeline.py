@@ -27,9 +27,9 @@ from pyspark.sql import functions as F
 
 from ..operators import entities as N
 from ..operators.assemble import build_document_model
-from ..operators.canonicalize import canonical_map, rewrite_triples
+from ..operators.canonicalize import canonicalize_linked, rewrite_triples
 from ..operators.interactions import classify_interactions
-from ..operators.linking import link_entities, same_as_edges, xref_dictionary
+from ..operators.linking import link_entities, xref_dictionary
 from ..operators.parse import extracted_text, parse_gpml
 from ..operators.triples import TRIPLE_COLS, build_triples
 
@@ -321,13 +321,16 @@ class Pipeline:
                             _write_mult())),
             "linked": (["nodes"], lambda: link_entities(out["nodes"],
                                                         xd)),
+            # bipartite fast path: the iterative CC runs only on the
+            # dictionary-scale alias graph (canonicalize_linked
+            # docstring) — the generic canonical_map's per-round
+            # corpus-frame barriers were the non-scaling tail in the
+            # N->4N series (BENCH/PLANS.md round-4 final)
             "canonical_triples": (["triples", "linked"], lambda:
                                   rewrite_triples(
                                       out["triples"],
-                                      canonical_map(
-                                          out["linked"],
-                                          same_as_edges(out["linked"],
-                                                        xd)))),
+                                      canonicalize_linked(out["linked"],
+                                                          xd))),
             # JSON-LD documents (NDJSON-ready, S5/JS1/JS2); bucketize
             # folds the grouped assembly into the snapshot layout so
             # the full document text is shuffled once, not twice
@@ -340,6 +343,19 @@ class Pipeline:
             "text": ([], lambda: extracted_text(pages)),
         }
 
+        # Submission priority among SIMULTANEOUSLY-eligible stages
+        # (ThreadPoolExecutor runs queued work FIFO, so submission
+        # order is execution priority once workers are saturated).
+        # Longest critical-path stages first: `documents` was the
+        # single longest late stage in the 2048x decomposition
+        # (BENCH/PLANS.md round 4) and it becomes eligible the moment
+        # MODEL5 commits — it must not queue behind shorter work.
+        priority = ["mentions", "text", "nodes", "edges", "pathways",
+                    "citations", "vocabularies", "documents",
+                    "interactions", "linked", "triples",
+                    "canonical_triples", "quarantine"]
+        rank = {n: i for i, n in enumerate(priority)}
+
         done: set[str] = set()
         futures: dict[str, object] = {}
         persisted_before = self._persisted_ids() if release_blocks \
@@ -347,12 +363,14 @@ class Pipeline:
         try:
             with ThreadPoolExecutor(max_workers=max_workers) as ex:
                 while len(done) < len(builds):
-                    for name, (deps, build) in builds.items():
-                        if name in done or name in futures:
-                            continue
-                        if all(d in done for d in deps):
-                            futures[name] = ex.submit(
-                                self._stage, name, build, resume)
+                    eligible = sorted(
+                        (name for name, (deps, _) in builds.items()
+                         if name not in done and name not in futures
+                         and all(d in done for d in deps)),
+                        key=lambda n: rank.get(n, len(rank)))
+                    for name in eligible:
+                        futures[name] = ex.submit(
+                            self._stage, name, builds[name][1], resume)
                     if not futures:
                         raise RuntimeError("pipeline stage deadlock")
                     futures_wait(list(futures.values()),

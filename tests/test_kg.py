@@ -5,7 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from gpml2pvjson_js_spark.operators.canonicalize import (
-    canonical_map, connected_components, rewrite_triples)
+    canonical_map, canonicalize_linked, connected_components,
+    rewrite_triples)
 from gpml2pvjson_js_spark.operators.linking import (
     link_entities, same_as_edges, xref_dictionary)
 from gpml2pvjson_js_spark.plans.topo import dependency_edges, topo_levels
@@ -195,6 +196,44 @@ def test_component_rep_prefers_iri_over_hot_domain_mention(spark):
             for r in connected_components(edges).collect()}
     assert comp[mention] == iri
     assert comp[iri] == iri
+
+
+def test_connected_components_isolated_pair_and_core_mix(spark):
+    """Leaf-peeling edge cases: an isolated pair (both endpoints
+    degree 1 — neither enters the 2-core), a square core with pendant
+    leaves (leaves inherit the core component; the final min still
+    scans them), and a pendant leaf that IS the component min."""
+    edges = spark.createDataFrame(
+        [
+            ("p1", "p2"),                    # isolated pair
+            ("q2", "q3"), ("q3", "q4"), ("q4", "q5"), ("q5", "q2"),
+            ("q2", "q1"),                    # pendant leaf, is the min
+            ("q5", "q9"),                    # pendant leaf, not the min
+        ],
+        "src string, dst string")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp["p1"] == comp["p2"] == "p1"
+    assert all(comp[f"q{i}"] == "q1" for i in range(1, 6))
+    assert comp["q9"] == "q1"
+    assert len(comp) == 8
+
+
+def test_canonicalize_linked_matches_generic(spark, model):
+    """The pipeline's bipartite fast path must equal the generic
+    CC-over-full-sameAs-graph result row for row (the invariant that
+    lets the iterative CC stay off corpus-sized frames)."""
+    xd = xref_dictionary(spark)
+    linked = link_entities(model["nodes"], xd)
+    generic = canonical_map(linked, same_as_edges(linked, xd))
+    fast = canonicalize_linked(linked, xd)
+    assert sorted(map(tuple, generic.collect())) == \
+        sorted(map(tuple, fast.collect()))
+    # and the fast path actually exercises the alias merge: the
+    # Uniprot alias row maps some mention to the Entrez IRI
+    assert fast.filter(
+        F.col("canonical") ==
+        "https://identifiers.org/ncbigene/207").count() > 0
 
 
 def test_canonical_rewrite_preserves_counts(spark, model, triples):

@@ -8,7 +8,8 @@ from gpml2pvjson_js_spark.operators.dedup import (
     dedup_exact, exact_duplicates, minhash_lsh_pairs,
     minhash_signatures, simhash, simhash_near_duplicates)
 from gpml2pvjson_js_spark.operators.multimodal import (
-    FEATURE_DIM, extract_features, frame_sample_plan, synthesize_media)
+    FEATURE_DIM, MEDIA_SCHEMA, extract_features, frame_sample_plan,
+    synthesize_media)
 from gpml2pvjson_js_spark.operators.similarity import (
     cosine_topk_bruteforce, cosine_topk_ivf, cosine_topk_lsh,
     train_ivf_centroids)
@@ -384,13 +385,63 @@ def test_multimodal_plumbing(spark):
     f = extract_features(media)
     rows = f.collect()
     assert all(len(r["feature"]) == FEATURE_DIM for r in rows)
-    assert all(r["decode_status"] == "stub-decoded" for r in rows)
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    # PNG and WAV payloads are REALLY decoded (stdlib inflate / PCM
+    # parse): dims/duration come from the payload bytes, not metadata
+    for r in by_kind["image"]:
+        i = r["media_id"]
+        assert r["decode_status"] == "ok"
+        assert r["width"] == 32 + (i % 3) * 16
+        assert r["height"] == 24 + (i % 2) * 8
+    for r in by_kind["audio"]:
+        assert r["decode_status"] == "ok"
+        assert r["duration_ms"] == 250 * (1 + r["media_id"] % 4)
+    # video decode remains a documented stub
+    for r in by_kind["video"]:
+        assert r["decode_status"] == "stub-decoded"
+        assert r["width"] is None and r["duration_ms"] is None
     # deterministic across runs
     again = extract_features(synthesize_media(spark, 12)).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
     plan = frame_sample_plan(media, every_ms=500)
     vids = media.filter(F.col("kind") == "video").count()
     assert plan.count() == vids * 3  # 0, 500, 1000
+
+
+def test_multimodal_malformed_payload_quarantines(spark):
+    """A corrupt payload must yield an error row, never a task crash."""
+    import pandas as pd
+    media = spark.createDataFrame(
+        pd.DataFrame({
+            "media_id": [0], "kind": ["image"],
+            "payload": [b"not a png at all"], "mime": ["image/png"],
+            "width": pd.array([None], dtype="Int32"),
+            "height": pd.array([None], dtype="Int32"),
+            "duration_ms": pd.array([None], dtype="Int32"),
+        }), schema=MEDIA_SCHEMA)
+    r = extract_features(media).collect()[0]
+    assert r["decode_status"].startswith("error:")
+    assert r["feature"] == [0.0] * FEATURE_DIM
+
+
+def test_ivf_init_dedups_replicated_corpus(spark):
+    """On a replicated corpus (duplicate vectors adjacent in hash
+    order) the k-means init must seed from DISTINCT rows: duplicate
+    seeds collapse two cells onto one centroid and argmax tie-breaking
+    starves the twin forever, silently shrinking the effective cell
+    count."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(8, 12))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i % 8].tolist()) for i in range(400)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    cent = train_ivf_centroids(emb, 8, sample_rows=400, iters=2)
+    assert len(np.unique(cent.round(9), axis=0)) == 8
 
 
 def test_ann_ivf_recall_clustered(spark):
