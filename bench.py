@@ -96,6 +96,51 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def _contention_sample() -> dict:
+    """Cumulative counters for the two EXTERNAL noise sources this
+    shared sandbox has: hypervisor CPU steal (/proc/stat, col 9 of the
+    aggregate cpu line) and time the ONE shared virtio disk spent busy
+    (/proc/diskstats io_ticks). Sampled before/after a measured window
+    these yield steal%% and disk-busy%% for exactly that window —
+    run-to-run spreads up to 2.2x on identical code+config were traced
+    to bursts of this contention (see BENCH/PLANS.md round 5), so the
+    scaling legs record both and retry flagged runs."""
+    out = {"t": time.time()}
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        out["cpu_total"] = sum(vals)
+        out["cpu_steal"] = vals[7] if len(vals) > 7 else 0
+    except Exception:
+        pass
+    try:
+        with open("/proc/diskstats") as f:
+            for line in f:
+                p = line.split()
+                if p[2] == "vda":
+                    out["disk_io_ticks_ms"] = int(p[12])
+                    break
+    except Exception:
+        pass
+    return out
+
+
+def _contention_pct(before: dict, after: dict) -> dict:
+    """steal%% of total cpu time and disk-busy%% of wall, over the
+    window between two _contention_sample() calls."""
+    res = {}
+    dt = max(after.get("t", 0) - before.get("t", 0), 1e-9)
+    if "cpu_total" in before and "cpu_total" in after:
+        d_total = after["cpu_total"] - before["cpu_total"]
+        d_steal = after["cpu_steal"] - before["cpu_steal"]
+        res["steal_pct"] = round(100.0 * d_steal / max(d_total, 1), 2)
+    if "disk_io_ticks_ms" in before and "disk_io_ticks_ms" in after:
+        d_busy = after["disk_io_ticks_ms"] - before["disk_io_ticks_ms"]
+        res["disk_busy_pct"] = round(0.1 * d_busy / dt, 2)
+    return res
+
+
 def run_kg_pipeline(spark, sf_dir: str) -> tuple[int, float]:
     """Full KG pipeline over pages synthesized from the documents
     table; returns (n_triples, seconds). Wall time excludes the
@@ -280,8 +325,10 @@ def main() -> dict:
         run_pipeline_measured(
             spark, "/root/testdata/sf0.001", f"{tmp}/warmup",
             int(os.environ.get("SPARK_GRAFT_WARMUP_REPLICATE", "1")))
+        cont0 = _contention_sample()
         n_snap, snap_sec, stages = run_pipeline_measured(
             spark, SF_DIR, f"{tmp}/scale", replicate)
+        sanity.update(_contention_pct(cont0, _contention_sample()))
         queries["kg_pipeline_exec"] = round(snap_sec, 3)
         queries["kg_pipeline_triples_per_sec"] = (
             round(n_snap / snap_sec, 2) if snap_sec else 0.0)
@@ -301,8 +348,10 @@ def main() -> dict:
     queries["kg_warmup"] = round(time.time() - t0, 3)
 
     # measured run (cold data, warm JVM) — the reported number
+    cont0 = _contention_sample()
     n_triples, kg_sec, stages = run_pipeline_measured(
         spark, SF_DIR, f"{tmp}/measured", replicate)
+    sanity.update(_contention_pct(cont0, _contention_sample()))
     queries["kg_pipeline_exec"] = round(kg_sec, 3)
     for s, ms in stages.items():
         queries[f"kg_stage_{s}"] = round(ms / 1000.0, 3)
@@ -345,6 +394,39 @@ def _wait_for_idle(threshold: float = 2.0, max_wait: int = 240) -> None:
     t0 = time.time()
     while os.getloadavg()[0] > threshold and time.time() - t0 < max_wait:
         time.sleep(10)
+
+
+def _leg_time(result: dict) -> float:
+    return result["queries"]["kg_pipeline_exec"]
+
+
+def _leg_flags(result: dict) -> list[str]:
+    """External-contention flags for one rep's measured window.
+    Thresholds: >1.5% hypervisor steal of total CPU, or the shared
+    virtio disk busy >15% of wall — both measured to move leg times
+    by far more than their share (BENCH/PLANS.md rounds 4-5)."""
+    flags = []
+    steal = result.get("steal_pct")
+    if steal is not None and steal > 1.5:
+        flags.append(f"steal {steal}%")
+    busy = result.get("disk_busy_pct")
+    if busy is not None and busy > 15.0:
+        flags.append(f"disk_busy {busy}%")
+    return flags
+
+
+def _leg_reps_converged(reps: list, min_reps: int,
+                        max_reps: int) -> bool:
+    """Stop repeating a leg once the two fastest reps agree within
+    15% AND the fastest rep's window was contention-free; always stop
+    at max_reps (the flags are then recorded alongside the result)."""
+    if len(reps) >= max_reps:
+        return True
+    if len(reps) < min_reps:
+        return False
+    times = sorted(_leg_time(r) for r in reps)
+    best = min(reps, key=_leg_time)
+    return times[1] <= times[0] * 1.15 and not _leg_flags(best)
 
 
 LEGS_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -392,10 +474,21 @@ def scaling_report() -> None:
     W grows with S flat, and the largest point must clear the >= 0.8
     target. A single mid-size point conflates overhead with scaling.
 
-    Resumable: every completed leg is persisted to
+    Noise-robust: the sandbox shares its hypervisor and its one
+    virtio disk with other tenants, and back-to-back runs of
+    IDENTICAL code+config were measured spreading 2.2x (112.7 s vs
+    247.4 s at r512/16c — BENCH/PLANS.md round 5). Contention only
+    ever ADDS time, so each leg runs k reps and reports the MIN;
+    a rep whose window shows hypervisor steal or shared-disk
+    saturation (steal_pct / disk_busy_pct sampled from /proc around
+    exactly the measured window) is flagged and earns a retry, and
+    reps keep going (up to SPARK_GRAFT_LEG_MAX_REPS) until the two
+    fastest agree within 15% and the fastest is unflagged.
+
+    Resumable: every completed rep is persisted to
     BENCH/scaling_legs.json keyed by (sf_dir, replicate, fleet) and
-    skipped on re-run — a multi-hour series survives a crash with
-    only the in-flight leg lost. DELETE the cache whenever the
+    reused on re-run — a multi-hour series survives a crash with
+    only the in-flight rep lost. DELETE the cache whenever the
     pipeline code or the protocol changes; stale legs would mix
     measurements of different code."""
     # Series sized to measured wall cost: each subprocess adds ~4-6
@@ -406,6 +499,8 @@ def scaling_report() -> None:
         "SPARK_GRAFT_SCALING_REPLICATES", "128,512,2048").split(",")]
     exec_cores = int(os.environ.get("SPARK_GRAFT_FLEET_CORES", "4"))
     n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
+    min_reps = int(os.environ.get("SPARK_GRAFT_LEG_REPS", "2"))
+    max_reps = int(os.environ.get("SPARK_GRAFT_LEG_MAX_REPS", "4"))
     levels = (n_small, 4 * n_small)
     sanity = load_sanity()
     legs = _load_legs()
@@ -416,13 +511,11 @@ def scaling_report() -> None:
             n_exec = cpus // exec_cores
             leg_key = (f"{SCALING_SF_DIR}:r{replicate}"
                        f":x{n_exec}e{exec_cores}c")
-            if leg_key in legs:
-                results[cpus] = legs[leg_key]
-                print(json.dumps({"cached_point": {
-                    "replicate": replicate, "executors": n_exec,
-                    "kg_pipeline_exec": results[cpus]["queries"][
-                        "kg_pipeline_exec"]}}), file=sys.stderr)
-                continue
+            cached = legs.get(leg_key)
+            # rep list per leg (old flat-dict cache entries are from
+            # a prior protocol/code version — never mix them in)
+            reps = list(cached["reps"]) if isinstance(cached, dict) \
+                and "reps" in cached else []
             # IDENTICAL job + config at both levels — only the FLEET
             # varies, the way a real N -> 4N cluster varies:
             #
@@ -455,7 +548,6 @@ def scaling_report() -> None:
             # would collapse whole stage scans into one map task —
             # the 16m override is scoped HERE (the one place the
             # pathology exists), not in the session factory.
-            _wait_for_idle()
             # Shuffle/checkpoint scratch on tmpfs at BOTH levels: the
             # sandbox has ONE shared 251 MB/s virtio disk (measured
             # with dd oflag=direct), while a real N-node fleet brings
@@ -493,26 +585,37 @@ def scaling_report() -> None:
             env["PYTHONPATH"] = os.path.dirname(
                 os.path.abspath(__file__)) + (
                 ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True,
-                timeout=14400)
-            lines = [l for l in out.stdout.splitlines()
-                     if l.startswith("{")]
-            if not lines:
-                # surface the subprocess failure instead of dying on
-                # an IndexError with the cause discarded
-                raise RuntimeError(
-                    f"scaling leg {leg_key} produced no result "
-                    f"(rc={out.returncode}); stderr tail:\n"
-                    + "\n".join(out.stderr.splitlines()[-30:]))
-            results[cpus] = json.loads(lines[-1])
-            legs[leg_key] = results[cpus]
-            _save_legs(legs)
-            print(json.dumps({"point": {"replicate": replicate,
-                                        "cpus": cpus,
-                                        **results[cpus]["queries"]}}),
-                  file=sys.stderr)
+
+            while not _leg_reps_converged(reps, min_reps, max_reps):
+                _wait_for_idle()
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True,
+                    timeout=14400)
+                lines = [l for l in out.stdout.splitlines()
+                         if l.startswith("{")]
+                if not lines:
+                    # surface the subprocess failure instead of dying
+                    # on an IndexError with the cause discarded
+                    raise RuntimeError(
+                        f"scaling leg {leg_key} produced no result "
+                        f"(rc={out.returncode}); stderr tail:\n"
+                        + "\n".join(out.stderr.splitlines()[-30:]))
+                rep = json.loads(lines[-1])
+                reps.append(rep)
+                legs[leg_key] = {"reps": reps}
+                _save_legs(legs)
+                print(json.dumps({"rep": {
+                    "replicate": replicate, "cpus": cpus,
+                    "n": len(reps),
+                    "kg_pipeline_exec":
+                        rep["queries"]["kg_pipeline_exec"],
+                    "flags": _leg_flags(rep)}}), file=sys.stderr)
+            results[cpus] = min(reps, key=_leg_time)
+            print(json.dumps({"point": {
+                "replicate": replicate, "cpus": cpus,
+                "reps": [_leg_time(r) for r in reps],
+                **results[cpus]["queries"]}}), file=sys.stderr)
         c_n, c_4n = levels
         t_n = results[c_n]["queries"]["kg_pipeline_exec"]
         t_4n = results[c_4n]["queries"]["kg_pipeline_exec"]
@@ -599,6 +702,17 @@ fleets, 4x1c vs 16x1c) was measured and rejected — a 1-core JVM
 oversubscribes its pinned core with task + shuffle-server + GC
 threads (eff 0.29 at 512x); the staging-mode A/Bs behind
 SPARK_GRAFT_STAGE_STORAGE are in BENCH/PLANS.md round-4.
+
+Noise control: this sandbox shares its hypervisor and one virtio
+disk with other tenants, and identical back-to-back runs were
+measured spreading 2.2x (112.7 s vs 247.4 s, same code, same
+config, same corpus — BENCH/PLANS.md round 5). Contention only
+ever ADDS time, so every leg below is the MIN of >= 2 fresh
+subprocess reps; each rep samples hypervisor steal and shared-disk
+busy time from /proc around exactly its measured window, and a leg
+keeps repeating (up to 4 reps) until its two fastest reps agree
+within 15% with the fastest contention-free. Raw per-rep times and
+flags are in BENCH/scaling_legs.json.
 
 Model: T(c) = S + W/c with S = parallelism-independent seconds
 (per-stage Catalyst planning, snapshot-commit latency, AQE
