@@ -213,8 +213,16 @@ def run_pipeline_measured(spark, sf_dir: str, out_root: str,
     pipe.run(resume=False)
     wall = time.time() - t0
     n = pipe.store.manifest("canonical_triples")["rows"]
-    stages = {s: m["wall_ms"] for s, m in pipe.metrics().items()}
-    return n, wall, stages
+    metrics = pipe.metrics()
+    stages = {s: m["wall_ms"] for s, m in metrics.items()}
+    # footer_ms is the driver-side, parallelism-independent slice of
+    # each commit (metadata-only lineage read-back of the parquet
+    # footers). write_ms is NOT separable disk time — the write
+    # action executes the stage's whole plan — so isolating the
+    # storage-bandwidth share of a commit needs the disk-vs-tmpfs
+    # snapshot-store A/B (BENCH/PLANS.md round 5), not a timer.
+    footers = {s: m.get("footer_ms", 0) for s, m in metrics.items()}
+    return n, wall, stages, footers
 
 
 def _lazy_probe(spark, sf_dir: str, replicate: int) -> tuple[int, float]:
@@ -305,7 +313,16 @@ def main() -> dict:
     if os.environ.get("SPARK_GRAFT_PIN_CORES"):
         _pin_executor_tree(os.environ["SPARK_GRAFT_PIN_CORES"])
     queries: dict[str, float] = {}
-    tmp = tempfile.mkdtemp(prefix="kgbench_")
+    # Snapshot store location. Default: the real disk (durable).
+    # SPARK_GRAFT_SNAPSHOT_ROOT lets the scaling protocol place the
+    # store on tmpfs — see scaling_report: the sandbox has ONE shared
+    # 251 MB/s virtio disk at BOTH fleet sizes, while any real
+    # deployment commits to storage whose aggregate bandwidth scales
+    # with the fleet (N x local NVMe, or an object store).
+    snap_root = os.environ.get("SPARK_GRAFT_SNAPSHOT_ROOT")
+    if snap_root:
+        os.makedirs(snap_root, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="kgbench_", dir=snap_root)
 
     if scaling_only:
         # Protocol (root-cause history in BENCH/PLANS.md): the scaling
@@ -326,7 +343,7 @@ def main() -> dict:
             spark, "/root/testdata/sf0.001", f"{tmp}/warmup",
             int(os.environ.get("SPARK_GRAFT_WARMUP_REPLICATE", "1")))
         cont0 = _contention_sample()
-        n_snap, snap_sec, stages = run_pipeline_measured(
+        n_snap, snap_sec, stages, footers = run_pipeline_measured(
             spark, SF_DIR, f"{tmp}/scale", replicate)
         sanity.update(_contention_pct(cont0, _contention_sample()))
         queries["kg_pipeline_exec"] = round(snap_sec, 3)
@@ -334,6 +351,8 @@ def main() -> dict:
             round(n_snap / snap_sec, 2) if snap_sec else 0.0)
         for s, ms in stages.items():
             queries[f"kg_stage_{s}"] = round(ms / 1000.0, 3)
+        queries["kg_footer_total"] = round(
+            sum(footers.values()) / 1000.0, 3)
         return {"metric": "triples_per_sec",
                 "value": queries["kg_pipeline_triples_per_sec"],
                 "unit": "sec", "queries": queries,
@@ -349,7 +368,7 @@ def main() -> dict:
 
     # measured run (cold data, warm JVM) — the reported number
     cont0 = _contention_sample()
-    n_triples, kg_sec, stages = run_pipeline_measured(
+    n_triples, kg_sec, stages, _footers = run_pipeline_measured(
         spark, SF_DIR, f"{tmp}/measured", replicate)
     sanity.update(_contention_pct(cont0, _contention_sample()))
     queries["kg_pipeline_exec"] = round(kg_sec, 3)
@@ -567,8 +586,17 @@ def scaling_report() -> None:
                        SPARK_GRAFT_SF_DIR=SCALING_SF_DIR,
                        SPARK_GRAFT_REPLICATE=str(replicate),
                        SPARK_GRAFT_SCALING_ONLY="1",
+                       # The driver models a SEPARATE node (unpinned,
+                       # see above) — give it a real node's heap. At
+                       # 8g the driver GC-throttled its own scheduling
+                       # and concurrent Catalyst planning (measured:
+                       # r512 4-exec leg 119.8 s at 8g vs 99.7 s at
+                       # 24g, same code/config — BENCH/PLANS.md r5);
+                       # that throttle is a sandbox artifact, not the
+                       # engine under test, and it applies at BOTH
+                       # fleet sizes.
                        SPARK_GRAFT_DRIVER_MEM=os.environ.get(
-                           "SPARK_GRAFT_DRIVER_MEM", "8g"),
+                           "SPARK_GRAFT_DRIVER_MEM", "24g"),
                        SPARK_GRAFT_MAX_PARTITION_BYTES=os.environ.get(
                            "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
                        SPARK_GRAFT_OPEN_COST_BYTES=os.environ.get(
