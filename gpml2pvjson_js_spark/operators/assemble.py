@@ -124,34 +124,6 @@ def _stage(df: DataFrame) -> DataFrame:
         storageLevel=_STAGE_LEVELS.get(mode,
                                        StorageLevel.MEMORY_AND_DISK))
 
-
-def _t(label: str, t0: float) -> None:
-    """SPARK_GRAFT_DEBUG_TIMING=1: model-build section walls on stderr
-    (driver-side Catalyst planning is a scaling-series S term; this is
-    how its in-leg composition was measured, BENCH/PLANS.md round 5)."""
-    import os
-    import sys
-    import time
-    if os.environ.get("SPARK_GRAFT_DEBUG_TIMING"):
-        print(f"[model-build] {label} {time.time() - t0:.1f}s",
-              file=sys.stderr, flush=True)
-
-
-def _par_stage(frames: dict) -> dict:
-    """Stage INDEPENDENT fan-out frames concurrently. Each lazy
-    localCheckpoint runs the full Catalyst chain (analyze -> optimize
-    -> physical plan -> RDD) on the driver — ~2 s warm per frame —
-    and that planning is parallelism-independent serial time in the
-    N -> 4N scaling series. Catalyst is thread-safe, so sibling
-    frames plan on a small thread pool; dependencies between calls
-    stay in program order."""
-    from concurrent.futures import ThreadPoolExecutor
-    if len(frames) == 1:
-        return {k: _stage(df) for k, df in frames.items()}
-    with ThreadPoolExecutor(max_workers=len(frames)) as ex:
-        futs = {k: ex.submit(_stage, df) for k, df in frames.items()}
-        return {k: f.result() for k, f in futs.items()}
-
 from . import edges as E
 from . import entities as N
 from . import groups as G
@@ -224,19 +196,14 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
     # in a fixed heap and anti-scaled — 4x the cores ran 1.4x slower
     # from GC thrash; MEMORY_AND_DISK (serialized) keeps the N -> 4N
     # scaling efficiency >= 0.8 at replicate 64.
-    import time as _time
-    _t0 = _time.time()
     converted = _stage(N.convert_nodeish(N.with_defaults(ok, spark)))
-    _t('converted', _t0); _t0 = _time.time()
 
-    fs = _par_stage({"free_nodes": N.build_free_nodes(converted),
-                     "states": N.build_states(converted)})
-    free_nodes, states = fs["free_nodes"], fs["states"]
+    free_nodes = _stage(N.build_free_nodes(converted))
+    states = _stage(N.build_states(converted))
     anchors = N.build_anchors(converted)
     membership = G.group_membership(converted)
     groups = _stage(G.build_groups(converted, free_nodes, states,
                                    membership))
-    _t('free/states/groups', _t0); _t0 = _time.time()
 
     # edge endpoint targets: free nodes, states, groups, anchors
     targets = (
@@ -252,9 +219,7 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
     edges1 = E.resolve_edge_points(edges0, targets)
     # implicit Elbow/Curved waypoints (F4/F5) before group re-basing
     from .waypoints import synthesize_waypoints
-    _t('edges0/resolve', _t0); _t0 = _time.time()
     edges1 = synthesize_waypoints(edges1)
-    _t('waypoints', _t0); _t0 = _time.time()
 
     # rebase grouped members (A4)
     node_like = free_nodes.unionByName(states, allowMissingColumns=True)
@@ -341,10 +306,13 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
     # triples, linking) references nodes/edges several times —
     # without the cut, the 20-branch triples union re-inlines the
     # whole join DAG into one multi-MB plan
-    outputs = {"nodes": nodes, "edges": edges3, "citations": citations,
-               "vocabularies": vocabularies, "pathways": pathways}
-    _t('rebase/burrs/contains', _t0); _t0 = _time.time()
-    if stage_outputs:
-        outputs = _par_stage(outputs)
-    _t('out_stage', _t0)
-    return {"mentions": ok, "quarantine": quarantine, **outputs}
+    out_stage = _stage if stage_outputs else (lambda df: df)
+    return {
+        "mentions": ok,
+        "quarantine": quarantine,
+        "nodes": out_stage(nodes),
+        "edges": out_stage(edges3),
+        "citations": out_stage(citations),
+        "vocabularies": out_stage(vocabularies),
+        "pathways": out_stage(pathways),
+    }

@@ -276,34 +276,12 @@ class Pipeline:
             _os.environ.get("SPARK_GRAFT_PIPELINE_WORKERS", "4"))
 
         # The "mentions" snapshot holds the UNFILTERED parse output
-        # (ok + quarantined rows); quarantine derives from the
-        # committed snapshot by a filter (pushed down to the parquet
-        # scan), so a run never re-parses raw pages.
+        # (ok + quarantined rows); quarantine and the model derive
+        # from the committed snapshot by filters (pushed down to the
+        # parquet scan), so a run never re-parses raw pages.
         parsed_holder: dict = {}
         model_cache: dict = {}
         model_lock = threading.Lock()
-        parse_ck_holder: dict = {}
-        parse_ck_lock = threading.Lock()
-
-        def parse_frame() -> DataFrame:
-            """The parse output as ONE lazily-checkpointed frame shared
-            by the mentions snapshot commit AND the model builder. The
-            commit's write job is what materializes the blocks, so the
-            corpus is parsed exactly once; the model's stages then read
-            the serialized blocks instead of the committed parquet."""
-            with parse_ck_lock:
-                if "df" not in parse_ck_holder:
-                    from pyspark.storagelevel import StorageLevel
-                    parse_ck_holder["df"] = parse_gpml(pages) \
-                        .localCheckpoint(
-                            eager=False,
-                            storageLevel=StorageLevel.MEMORY_AND_DISK)
-                return parse_ck_holder["df"]
-
-        def model_base() -> DataFrame:
-            if resume and self.store.is_committed("mentions"):
-                return self.store.read(spark, "mentions")
-            return parse_frame()
 
         def model() -> dict:
             with model_lock:
@@ -316,30 +294,15 @@ class Pipeline:
                     # fleet (156.3 s vs 134.4 s at replicate 512) while
                     # the 1-executor leg was unchanged.
                     model_cache.update(build_document_model(
-                        spark, pages, mentions=model_base()))
+                        spark, pages, mentions=parsed_holder["df"]))
                 return model_cache
-
-        # Build the model DAG CONCURRENTLY with the mentions commit.
-        # The build is driver-side Catalyst planning (tens of seconds
-        # — one toRdd per fan-out checkpoint), parallelism-independent
-        # serial time that used to sit between the mentions commit and
-        # the first model-stage commit with the whole fleet idle
-        # (measured: a 55 s gap in the r512 4-executor stage timeline,
-        # BENCH/PLANS.md round 5). Planning against the shared parse
-        # checkpoint instead of the committed parquet unblocks it from
-        # the commit; the MODEL5 stages still WAIT for the mentions
-        # commit (their dep below), so the checkpoint blocks are
-        # always materialized by the commit's own write job first and
-        # the parse python stage runs exactly once.
-        model_thread = threading.Thread(target=model, daemon=True)
-        model_thread.start()
 
         xd = xref_dictionary(spark)
         MODEL5 = ["nodes", "edges", "citations", "vocabularies",
                   "pathways"]
 
         builds: dict[str, tuple[list, object]] = {
-            "mentions": ([], parse_frame),
+            "mentions": ([], lambda: parse_gpml(pages)),
             "quarantine": (["mentions"], lambda: parsed_holder["df"]
                            .filter(F.col("gpml_element_name") == "_error")),
             **{name: (["mentions"], lambda n=name: model()[n])
