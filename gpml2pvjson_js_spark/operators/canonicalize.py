@@ -248,8 +248,9 @@ def canonicalize_linked(linked: DataFrame,
     Why it scales: the iterative CC runs ONLY on the alias graph
     (dictionary-scale, corpus-size-independent — BridgeDb-sized at
     worst), and the mention->component assignment is a single equi
-    join of `linked` against that small component map (AQE broadcasts
-    it at runtime). The generic path instead symmetrized + iterated
+    join of `linked` against that small component map (explicitly
+    broadcast — auto-broadcast is off session-wide, see session.py).
+    The generic path instead symmetrized + iterated
     over a corpus-sized node set; its per-round barriers were the
     named non-scaling tail in the N->4N series (BENCH/PLANS.md
     round-4 final)."""
@@ -257,7 +258,11 @@ def canonicalize_linked(linked: DataFrame,
     comp = connected_components(alias_edges(xref_dict)) \
         .withColumnRenamed("id", "c_iri")
     m = linked.filter(F.col("canonical_iri").isNotNull())
-    return m.join(comp, m.canonical_iri == F.col("c_iri"), "left") \
+    # explicit hint: auto-broadcast is disabled session-wide (see
+    # session.py — corpus frames must never be size-guessed into a
+    # broadcast), and comp is dictionary-scale by construction
+    return m.join(F.broadcast(comp), m.canonical_iri == F.col("c_iri"),
+                  "left") \
         .select("url", "frag", "id",
                 F.coalesce("component", "canonical_iri")
                 .alias("canonical")) \

@@ -6,9 +6,10 @@ in pvjson; every element carrying GroupRef is a member
 (ref: src/Processor.ts:235-243, src/group.ts:28-181,
 src/2013a/toPvjson.ts:746-869).
 
-All joins/aggregations key on (url, frag, ...) — per-document groups
-are tiny, so AQE turns these into local hash joins after the initial
-url-hash shuffle.
+All joins/aggregations key on (url, frag, ...): both sides are
+corpus-scale, so these are shuffle joins by design (auto-broadcast is
+disabled session-wide, session.py), co-partitioned after the initial
+url-hash shuffle; AQE coalesces/splits the partitions at runtime.
 """
 
 from __future__ import annotations

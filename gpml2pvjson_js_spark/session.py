@@ -51,6 +51,26 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcasts are EXPLICIT-ONLY (F.broadcast hints on frames the
+        # code asserts are dimension-scale); size-estimate-driven auto
+        # broadcast is off at both decision points. In this pipeline
+        # every non-hinted join side is corpus-scale, and the byte
+        # heuristics both planners use (parquet bytes statically,
+        # compressed shuffle bytes in AQE) under-estimate highly
+        # compressible web-corpus frames by orders of magnitude:
+        # measured at replicate 8192, AQE promoted a corpus-scale join
+        # side whose compressed shuffle output looked broadcastable
+        # into a 360 MB broadcast that deserialized into a >8 GB
+        # UnsafeHashedRelation PER EXECUTOR — OOM-killing the fleet's
+        # executors, and below the OOM threshold taxing every executor
+        # with a redundant per-executor hash build that grows with
+        # data (anti-scaling: N executors pay it once, 4N pay it 4x).
+        # At 100 TB no corpus-derived frame is ever broadcastable, so
+        # the honest policy is assert-don't-guess.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_AUTOBROADCAST", "-1"))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_AUTOBROADCAST", "-1"))
         # Production defaults match Spark's (128m / 4m): at 100 TB a
         # 16m packing size would mean ~6M scan partitions per table.
         # The REPLICATED bench corpora are the special case — they
