@@ -53,6 +53,177 @@ def from_slope(p1, p2) -> float:
     return math.atan2(p2[1] - p1[1], p2[0] - p1[0]) % TAU
 
 
+# --- full angle-math surface (F1) -----------------------------------
+# The kernel above carries the subset F4/F5 need; the functions below
+# complete the reference's exported angle API (ref: src/geom-utils.ts:
+# 199-306, src/spinoffs/Angle.ts:28-140, SCALE = TAU so the radian
+# convention matches this kernel). Semantics re-derived, pinned by
+# tests/test_geometry_golden.py::TestAngleMath.
+
+def add_angles(a1: float, a2: float) -> float:
+    """Sum of two angles wrapped to [0, TAU) with the reference's
+    sign handling: a negative single-revolution sum wraps UP by TAU
+    (ref: geom-utils.ts:199-205). Distinct from `normalize` only in
+    how it treats exact negative zero inputs."""
+    s = math.fmod(a1 + a2, TAU)  # JS % keeps the dividend's sign
+    return TAU + s if s < 0 else s
+
+
+def reverse_angle(angle: float) -> float:
+    """Opposite direction (ref: geom-utils.ts:254-256)."""
+    return add_angles(angle, math.pi)
+
+
+def cross_product(u, v) -> float:
+    """2-D scalar cross product (ref: geom-utils.ts:209-211)."""
+    return u[0] * v[1] - v[0] * u[1]
+
+
+def flip_orientation(o):
+    """Negate an orientation unit vector (ref: geom-utils.ts:213-217)."""
+    return [-o[0], -o[1]]
+
+
+# side -> emanation angle, derived exactly as the reference derives it
+# (fromSlope of the orientation vector; ref: geom-utils.ts:60-74)
+SIDE_TO_EMANATION_ANGLE = {
+    side: from_slope((0, 0), o) for side, o in SIDE_TO_ORIENTATION.items()
+}
+_EMANATION_ANGLE_TO_SIDE = {
+    a: side for side, a in SIDE_TO_EMANATION_ANGLE.items()
+}
+
+
+def flip_side(side: str) -> str:
+    """Opposite attachment side via the emanation-angle round trip the
+    reference uses, not a hand-written table (ref: geom-utils.ts:
+    219-223)."""
+    return _EMANATION_ANGLE_TO_SIDE[
+        reverse_angle(SIDE_TO_EMANATION_ANGLE[side])]
+
+
+def min_angle_between_vectors(a1: float, a2: float) -> float:
+    """Max-minus-min over two direction angles, both required to lie
+    in [0, TAU) (ref: geom-utils.ts:225-248, including its domain
+    check raising on out-of-range input)."""
+    if min(a1, a2) < 0 or max(a1, a2) >= TAU:
+        raise ValueError(
+            f"min_angle_between_vectors({a1}, {a2}) inputs must be in "
+            f"[0, TAU)")
+    return max(a1, a2) - min(a1, a2)
+
+
+def angle_of_emanation(orientation) -> float:
+    """Raw atan2 of an attachable point's orientation — deliberately
+    NOT normalized, matching the reference's return range (-pi, pi]
+    (ref: geom-utils.ts:249-253)."""
+    return math.atan2(orientation[1], orientation[0])
+
+
+def angle_at_point(points, position_x: float) -> float:
+    """Tangent direction of an edge path at arc-length fraction
+    position_x, by the reference's central difference with tangent
+    window 0.02 clamped to [0, 1] (ref: geom-utils.ts:258-282).
+    Returns raw atan2 (unnormalized) like getAngleFromPointToPoint.
+    Curves use the control-polyline approximation documented at
+    `polyline_position`."""
+    half = 0.02 / 2
+    x0, y0, _ = polyline_position(points, max(0.0, position_x - half))
+    x1, y1, _ = polyline_position(points, min(1.0, position_x + half))
+    return math.atan2(y1 - y0, x1 - x0)
+
+
+def normalize_half(n: float) -> float:
+    """Wrap an angle to [-pi, pi) (ref: Angle.ts:48-53)."""
+    h = TAU / 2
+    return (n + h) % TAU - h
+
+
+def shortest_direction(a_from: float, a_to: float) -> int:
+    """-1 if rotating left is shorter, +1 if right, 0 if equal
+    (ref: Angle.ts:71-84)."""
+    if a_from == a_to:
+        return 0
+    return -1 if normalize_half(a_from - a_to) < 0 else 1
+
+
+def angle_between(n: float, a: float, b: float) -> bool:
+    """True if angle n lies inside the arc from a to b going
+    clockwise (ref: Angle.ts:93-103)."""
+    n, a, b = n % TAU, a % TAU, b % TAU
+    if a < b:
+        return a <= n <= b
+    return a <= n or n <= b
+
+
+def angle_diff(a: float, b: float) -> float:
+    """Absolute angular difference, NOT reduced to the short way
+    around (ref: Angle.ts:111-113; `angle_distance` above is the
+    short-way version)."""
+    return abs(b - a) % TAU
+
+
+def radians_to_degrees(radians: float) -> float:
+    return (180.0 / math.pi) * radians
+
+
+def degrees_to_radians(degrees: float) -> float:
+    return (math.pi / 180.0) * degrees
+
+
+def to_gon(n: float) -> float:
+    """Gradians from a radian angle (ref: Angle.ts:163-166)."""
+    return (n / TAU) * 400.0
+
+
+def from_sin_cos(sin_v: float, cos_v: float) -> float:
+    """Recover the angle in [0, TAU) from its sine and cosine,
+    including the reference's reflection step for negative sine
+    (ref: Angle.ts:175-182)."""
+    angle = (1 + math.acos(cos_v) / TAU) * TAU
+    if sin_v < 0:
+        angle = TAU - angle
+    return angle % TAU
+
+
+_COMPASS = ["N", "NE", "E", "SE", "S", "SW", "W", "NW"]
+
+
+def quadrant(x: float, y: float, k: int = 4, shift: float = 0.0) -> int:
+    """1-based region index of point (x, y) in a k-region compass
+    rose rotated by `shift`, 0 exactly on a boundary within 1e-15
+    (ref: Angle.ts:206-232)."""
+    eps = 1e-15
+    phi = (math.atan2(y, x) + TAU) / TAU
+    if abs((phi * TAU) % (TAU / k)) < eps:
+        return 0
+    return 1 + int(math.floor((k * shift) / TAU + k * phi)) % k
+
+
+def compass(course: float) -> str:
+    """Nearest of 8 compass directions for a course angle where 0 is
+    north increasing clockwise (ref: Angle.ts:239-249)."""
+    k = len(_COMPASS)
+    return _COMPASS[round((course / TAU) * k) % k]
+
+
+def angle_lerp(a: float, b: float, p: float, direction: int = 0) -> float:
+    """Interpolate between two angles by fraction p, optionally
+    forcing clockwise (+1) or counter-clockwise (-1) travel; the
+    default takes the unwrapped difference minus a revolution, as the
+    reference does (ref: Angle.ts:258-274)."""
+    a, b = a % TAU, b % TAU
+    if a == b:
+        return a
+    if not direction:
+        offset = -TAU
+    elif (direction == 1) == (a < b):
+        offset = direction * TAU
+    else:
+        offset = 0.0
+    return (a + p * (b - a - offset)) % TAU
+
+
 def same_side(p1, p2, a, b) -> bool:
     """True if p1 and p2 lie on the same side of line a->b
     (cross-product sign test, ref: geom-utils.ts:587-594)."""
