@@ -429,6 +429,19 @@ def q_multimodal_features(spark, sf_dir):
                         lambda a, v: a + v), 4).alias("feature_sum"))
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Real video frame sampling: decode the synthesized Y4M clips,
+    emit the luma plane nearest each planned timestamp (rows-only —
+    DuckDB cannot demux Y4M; determinism + dims pinned by
+    tests/test_training_ops.py::test_y4m_roundtrip_and_frame_sampling)."""
+    from gpml2pvjson_js_spark.operators.multimodal import (
+        sample_frames, synthesize_media)
+    media = synthesize_media(spark, 64)
+    return sample_frames(media, every_ms=500).select(
+        "media_id", "frame_ts_ms", "frame_idx", "width", "height",
+        F.round(F.col("luma_mean").cast("double"), 4).alias("luma_mean"))
+
+
 def _skewed_domains(spark, sf_dir):
     """Zipf-skewed derived domain key over documents: ~90% of rows
     share one hot domain (the hot-domain shape the north rule's skew
@@ -592,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "affine_transform": q_affine_transform,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         # skew handling (salting: same values as unsalted oracle)
         "skew_salted_join": q_skew_salted_join,
         "skew_salted_repartition": q_skew_salted_repartition,

@@ -1,16 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Round 5: the image and audio paths are now REAL, dependency-free
-decodes — PNG (signature + chunk walk + IHDR + zlib-inflated,
-filter-0-unfiltered scanlines) and WAV (RIFF/fmt/data chunk walk +
-PCM samples) are parsed with struct/zlib from the stdlib, so
+Round 5: all three modalities now have a REAL, dependency-free
+decode for at least one public format — PNG (signature + chunk walk
++ IHDR + zlib-inflated, filter-0-unfiltered scanlines), WAV
+(RIFF/fmt/data chunk walk + PCM samples), and Y4M/YUV4MPEG2 video
+(plain-text header token parse + FRAME walk + planar YUV 4:2:0
+extraction) — all parsed with struct/zlib/numpy from the stdlib, so
 `decode_status == "ok"`, width/height/duration_ms, and the features
-(folded from actual pixel / PCM bytes) are honest for those two
-formats. Only the video path remains a documented STUB (mp4 demux
-needs codec libs this container lacks); its Spark-side plumbing —
-schema, partition-preserving mapInPandas batch shape, Arrow transfer,
-deterministic fake features — is real and tested either way.
+(folded from actual pixel / PCM / luma bytes) are honest. Downstream
+ops are real too: `sample_frames` extracts actual decoded luma
+planes at the planned timestamps and `resize_images` re-encodes a
+nearest-neighbor-resized PNG. Compressed containers that need codec
+libs this container lacks (mp4/h264, mp3, jpeg) quarantine as error
+rows — the mapInPandas plumbing (schema, Arrow batch shape,
+partitioning) is identical either way.
 """
 
 from __future__ import annotations
@@ -118,6 +122,70 @@ def _decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, rows[:, 1:].reshape(-1)
 
 
+_Y4M_FPS = 4  # synthesized clip frame rate
+
+
+def _y4m_bytes(width: int, height: int, n_frames: int, seed: str,
+               fps: int = _Y4M_FPS) -> bytes:
+    """Minimal valid YUV4MPEG2 stream (C420jpeg): text header, then
+    one `FRAME\\n` marker per frame followed by the planar Y + U + V
+    bytes. Dims must be even for 4:2:0 chroma."""
+    head = (f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 "
+            f"C420jpeg\n").encode()
+    frames = []
+    for k in range(n_frames):
+        y = _det_bytes(f"{seed}:f{k}:y", width * height)
+        u = _det_bytes(f"{seed}:f{k}:u", width * height // 4)
+        v = _det_bytes(f"{seed}:f{k}:v", width * height // 4)
+        frames.append(b"FRAME\n" + y + u + v)
+    return head + b"".join(frames)
+
+
+def _decode_y4m(payload: bytes
+                ) -> tuple[int, int, int, int, np.ndarray]:
+    """Stdlib Y4M decode: header token parse -> FRAME walk ->
+    (width, height, n_frames, fps_num/fps_den as duration_ms, luma
+    planes [n_frames, height*width]). Raises outside the 4:2:0
+    subset; truncated streams raise rather than yield short frames."""
+    eol = payload.find(b"\n")
+    if eol < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 header")
+    width = height = None
+    fn, fd = 30, 1
+    colorspace = "C420jpeg"
+    for tok in payload[:eol].split()[1:]:
+        c, val = chr(tok[0]), tok[1:].decode("ascii", "replace")
+        if c == "W":
+            width = int(val)
+        elif c == "H":
+            height = int(val)
+        elif c == "F":
+            fn, fd = (int(x) for x in val.split(":"))
+        elif c == "C":
+            colorspace = "C" + val
+    if not width or not height or fn <= 0 or fd <= 0:
+        raise ValueError("missing/invalid W/H/F in Y4M header")
+    if not colorspace.startswith("C420"):
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    y_size = width * height
+    frame_size = y_size + y_size // 2
+    pos, lumas = eol + 1, []
+    while pos < len(payload):
+        marker_end = payload.find(b"\n", pos)
+        if marker_end < 0 or payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M FRAME marker")
+        pos = marker_end + 1
+        if pos + frame_size > len(payload):
+            raise ValueError("truncated Y4M frame")
+        lumas.append(np.frombuffer(payload[pos:pos + y_size],
+                                   dtype=np.uint8))
+        pos += frame_size
+    if not lumas:
+        raise ValueError("Y4M stream has no frames")
+    duration_ms = int(len(lumas) * 1000 * fd // fn)
+    return width, height, len(lumas), duration_ms, np.stack(lumas)
+
+
 def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """Stdlib WAV decode: RIFF chunk walk -> (duration_ms, samples)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -143,9 +211,9 @@ def _decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 def synthesize_media(spark, n: int, kinds=("image", "audio", "video")
                      ) -> DataFrame:
-    """Deterministic media rows. Image payloads are REAL PNGs and
-    audio payloads REAL WAVs (synthesized byte-exactly above); video
-    payloads are opaque seeded bytes (decode stubbed)."""
+    """Deterministic media rows. Every payload is a REAL parseable
+    file: PNG images, RIFF/WAVE audio, YUV4MPEG2 video (synthesized
+    byte-exactly above)."""
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -163,9 +231,10 @@ def synthesize_media(spark, n: int, kinds=("image", "audio", "video")
                     mime = "audio/wav"
                 else:
                     w = h = 64
-                    dur = 1000
-                    payload = _det_bytes(f"media:{i}", 256)
-                    mime = "video/mp4"
+                    n_frames = _Y4M_FPS * (1 + i % 2)  # 1 or 2 s clip
+                    dur = n_frames * 1000 // _Y4M_FPS
+                    payload = _y4m_bytes(w, h, n_frames, f"media:{i}")
+                    mime = "video/x-yuv4mpeg"
                 rows.append({
                     "media_id": i, "kind": kind, "payload": payload,
                     "mime": mime, "width": w, "height": h,
@@ -189,12 +258,11 @@ def _fold_feature(arr: np.ndarray) -> list:
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched decode + feature extraction over payload bytes.
 
-    PNG and WAV payloads are REALLY decoded (stdlib inflate / PCM
-    parse; `decode_status='ok'`, parsed dims/duration emitted);
-    video decode is stubbed (`decode_status='stub-decoded'`,
-    deterministic features from raw bytes). Malformed payloads
-    quarantine as `error: ...` rows — a decode never crashes the
-    task."""
+    PNG, WAV, and Y4M payloads are REALLY decoded (stdlib inflate /
+    PCM parse / FRAME walk; `decode_status='ok'`, parsed
+    dims/duration emitted, features folded from pixel / sample /
+    luma bytes). Malformed or codec-requiring payloads quarantine as
+    `error: ...` rows — a decode never crashes the task."""
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, statuses, ws, hs, durs = [], [], [], [], []
@@ -211,9 +279,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                         feats.append(_fold_feature(samples))
                         statuses.append("ok")
                     else:
-                        feats.append(_fold_feature(
-                            np.frombuffer(b, dtype=np.uint8)))
-                        statuses.append("stub-decoded")
+                        w, h, _, dur, lumas = _decode_y4m(b)
+                        feats.append(_fold_feature(lumas.reshape(-1)))
+                        statuses.append("ok")
                 except Exception as exc:  # quarantine, never crash
                     feats.append([0.0] * FEATURE_DIM)
                     statuses.append(f"error: {exc}")
@@ -236,12 +304,117 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 250) -> DataFrame:
-    """Video frame-sampling plan (timestamps only — decode stubbed):
-    one row per planned frame, derived with JVM-side sequence/explode
-    so the fan-out happens before any Python stage."""
+    """Video frame-sampling plan: one row per planned timestamp,
+    derived with JVM-side sequence/explode so the fan-out happens
+    before any Python stage. `sample_frames` below does the actual
+    decode at these timestamps."""
     vids = media.filter(F.col("kind") == "video")
     ts = F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
     return vids.select(
         "media_id",
         F.explode(ts).alias("frame_ts_ms"),
     )
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_ts_ms", T.IntegerType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("luma_mean", T.FloatType(), False),
+    T.StructField("feature", T.ArrayType(T.FloatType()), False),
+])
+
+
+def sample_frames(media: DataFrame, every_ms: int = 250) -> DataFrame:
+    """REAL frame sampling over Y4M payloads: decode once per video
+    row, emit the nearest decoded luma plane for each planned
+    timestamp (frame_idx = round(ts * fps_effective), clamped).
+    One Arrow batch decodes each video exactly once regardless of
+    how many timestamps it yields; undecodable payloads contribute
+    no frames (they surface as error rows in `extract_features`)."""
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, n, dur, lumas = _decode_y4m(bytes(payload))
+                except Exception:
+                    continue
+                for ts in range(0, dur + 1, every_ms):
+                    idx = min(n - 1, round(ts * n / max(dur, 1)))
+                    plane = lumas[idx]
+                    out.append({
+                        "media_id": int(mid), "frame_ts_ms": ts,
+                        "frame_idx": int(idx), "width": w, "height": h,
+                        "luma_mean": float(plane.mean() / 255.0),
+                        "feature": _fold_feature(plane),
+                    })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_SCHEMA])
+
+    return media.filter(F.col("kind") == "video") \
+        .select("media_id", "payload") \
+        .mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("resize_status", T.StringType(), False),
+])
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize: decode the PNG, nearest-neighbor index-map
+    the pixel grid to (out_w, out_h), re-encode a valid PNG. Rows
+    whose payload can't be decoded keep their original bytes with
+    `resize_status='error: ...'`."""
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs, statuses = [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                try:
+                    w, h, px = _decode_png(b)
+                    grid = px.reshape(h, w)
+                    ys = (np.arange(out_h) * h // out_h)
+                    xs = (np.arange(out_w) * w // out_w)
+                    resized = grid[np.ix_(ys, xs)]
+                    payloads.append(_encode_png_gray(resized))
+                    ws.append(out_w)
+                    hs.append(out_h)
+                    statuses.append("ok")
+                except Exception as exc:
+                    payloads.append(b)
+                    ws.append(-1)
+                    hs.append(-1)
+                    statuses.append(f"error: {exc}")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"], "payload": payloads,
+                "width": pd.array(ws, dtype="Int32").astype("int32"),
+                "height": pd.array(hs, dtype="Int32").astype("int32"),
+                "resize_status": statuses,
+            })
+
+    return media.filter(F.col("kind") == "image") \
+        .select("media_id", "payload") \
+        .mapInPandas(run, RESIZED_SCHEMA)
+
+
+def _encode_png_gray(grid: np.ndarray) -> bytes:
+    """Re-encode an 8-bit grayscale pixel grid as a valid PNG
+    (filter-0 scanlines — the same subset `_decode_png` reads)."""
+    h, w = grid.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + grid[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
