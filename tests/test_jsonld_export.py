@@ -27,3 +27,24 @@ def test_documents_are_valid_json_per_page(model):
         d = json.loads(r["jsonld"])
         assert "pathway" in d and "entitiesById" in d
         assert d["pathway"]["type"][0] == "Pathway"
+
+
+def test_cli_convert_bytes_multidoc(spark):
+    """The reference's stdin->stdout CLI surface: concatenated GPML
+    docs on one stream come back as one JSON-LD document per pathway,
+    in input order, byte-deterministic across runs
+    (ref: bin/gpml2pvjson:61-96)."""
+    import json
+
+    from gpml2pvjson_js_spark.__main__ import convert_bytes
+    from gpml2pvjson_js_spark.corpus import gpml_data_nodes, gpml_groups
+
+    stream = (gpml_data_nodes() + "\n" + gpml_groups()).encode()
+    docs = convert_bytes(spark, stream, "file://stdin")
+    assert len(docs) == 2
+    parsed = [json.loads(d) for d in docs]
+    assert all(set(p) == {"pathway", "entitiesById"} for p in parsed)
+    # doc 0 is the data-node fixture, doc 1 the groups fixture
+    assert any(v.get("gpmlElementName") == "Group"
+               for v in parsed[1]["entitiesById"].values())
+    assert docs == convert_bytes(spark, stream, "file://stdin")
