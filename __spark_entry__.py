@@ -20,6 +20,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from gpml2pvjson_js_spark.operators.scrub import EMAIL_RE as _EMAIL_RE
+from gpml2pvjson_js_spark.operators.scrub import IPV4_RE as _IPV4_RE
+from gpml2pvjson_js_spark.operators.scrub import PHONE_RE as _PHONE_RE
+from gpml2pvjson_js_spark.operators.scrub import _hex_threshold
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------------------
@@ -478,6 +483,69 @@ def q_skew_salted_repartition(spark, sf_dir):
     return salted_repartition(big, ["domain"], n_salts=16)
 
 
+def _with_planted_pii(docs):
+    """The synthetic corpus has no PII, so the driver-visible query
+    plants one email, one IPv4, and one phone per row,
+    deterministically from doc_id — reproduced verbatim in the oracle
+    SQL so the redaction chain is hash-compared on non-trivial
+    matches."""
+    return docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".3."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call +1415"),
+        F.lpad((F.col("doc_id") % 100000).cast("string"), 7, "0")))
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub (operators/scrub.py): email/IPv4/phone redaction with
+    per-category counts — pure Catalyst regexp chain, oracle-checked
+    byte-for-byte on the full redacted text."""
+    from gpml2pvjson_js_spark.operators.scrub import redact_pii
+    docs = _with_planted_pii(_read(spark, sf_dir, "documents"))
+    out = redact_pii(docs)
+    return out.select("doc_id",
+                      F.col("n_emails").cast("long").alias("n_emails"),
+                      F.col("n_ips").cast("long").alias("n_ips"),
+                      F.col("n_phones").cast("long").alias("n_phones"),
+                      "redacted")
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic md5-prefix sample at f=0.25 — reproducible across
+    engines (oracle applies the identical predicate in SQL), nested
+    across fractions, shuffle-free."""
+    from gpml2pvjson_js_spark.operators.scrub import hash_sample
+    docs = _read(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25).select("doc_id", "lang")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sample (en 0.5, de 0.25, fr 0.1,
+    es/zh default-dropped) — a literal CASE over strata, same
+    md5-prefix mechanism as hash_sample."""
+    from gpml2pvjson_js_spark.operators.scrub import stratified_sample
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 0.25, "fr": 0.1}).select("doc_id", "lang")
+
+
+def q_repetition_score(spark, sf_dir):
+    """Gopher-style repetition features: duplicate-token and
+    duplicate-2-gram fractions per document."""
+    from gpml2pvjson_js_spark.operators.scrub import repetition_score
+    docs = _read(spark, sf_dir, "documents")
+    out = repetition_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"))
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (GPML -> triples; non-SQL-expressible: DuckDB has
 # no GPML parser, so these get rows-only checks)
@@ -606,6 +674,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affine_transform": q_affine_transform,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        # corpus scrubbing / sampling (operators/scrub.py)
+        "pii_redaction": q_pii_redaction,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "repetition_score": q_repetition_score,
         # skew handling (salting: same values as unsalted oracle)
         "skew_salted_join": q_skew_salted_join,
         "skew_salted_repartition": q_skew_salted_repartition,
@@ -968,5 +1041,77 @@ def oracle_sql() -> dict[str, str]:
                    END AS domain,
                    n_chars
             FROM documents
+        """,
+        # PII scrub: the planted email/IP/phone (derived from doc_id,
+        # identical to q_pii_redaction's concat) makes the redaction
+        # chain hash-compare on non-trivial matches; counts are over
+        # the ORIGINAL (planted) text, replacement order email->ip->
+        # phone as in operators/scrub.py.
+        "pii_redaction": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.'
+                          || CAST(doc_id % 200 AS VARCHAR) || '.3.'
+                          || CAST(doc_id % 250 AS VARCHAR)
+                          || ' call +1415'
+                          || lpad(CAST(doc_id % 100000 AS VARCHAR),
+                                  7, '0') AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{_IPV4_RE}'))
+                        AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text, '{_PHONE_RE}'))
+                        AS BIGINT) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_IPV4_RE}', '<IP>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM p
+        """,
+        # deterministic md5-prefix sampling: the predicate is the
+        # SAME bytes in both engines (md5 of the key's decimal string,
+        # first 8 hex chars compared lexically), so the kept id set —
+        # not just its size — must match exactly.
+        "hash_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{_hex_threshold(0.25)}'
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang
+                    WHEN 'en' THEN '{_hex_threshold(0.5)}'
+                    WHEN 'de' THEN '{_hex_threshold(0.25)}'
+                    WHEN 'fr' THEN '{_hex_threshold(0.1)}'
+                    ELSE '{_hex_threshold(0.0)}' END
+        """,
+        # repetition features: tokenization identical to token_counts
+        # (lower/trim/split on \s+); 2-grams built positionally so
+        # duplicate fractions match Spark's transform(sequence(...)).
+        "repetition_score": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id, w,
+                     [w[i+1] || ' ' || w[i+2]
+                      FOR i IN range(0, greatest(len(w) - 1, 0))] AS g2
+              FROM t)
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len(w) > 0
+                              THEN (len(w) - len(list_distinct(w)))
+                                   / CAST(len(w) AS DOUBLE)
+                              ELSE 0.0 END, 6) AS dup_token_frac,
+                   round(CASE WHEN len(g2) > 0
+                              THEN (len(g2) - len(list_distinct(g2)))
+                                   / CAST(len(g2) AS DOUBLE)
+                              ELSE 0.0 END, 6) AS dup_2gram_frac
+            FROM g
         """,
     }
