@@ -533,6 +533,28 @@ def q_stratified_sample(spark, sf_dir):
         {"en": 0.5, "de": 0.25, "fr": 0.1}).select("doc_id", "lang")
 
 
+def q_decontamination(spark, sf_dir):
+    """Eval-set decontamination report (operators/scrub.py): the eval
+    split is carved deterministically from documents by the same
+    md5-prefix rule as hash_sample (f=0.05), the rest is train; each
+    train doc gets its count of distinct word 4-grams shared with any
+    eval doc (n=4 because the synthetic corpus draws from a ~30-word
+    vocabulary — 8-grams would yield zero overlap and test nothing;
+    the operator default stays 8 for real text). Runs the SCALE path
+    (hash_grams=True, xxhash64-hashed broadcast gram set) — hashing is
+    deterministic, so the oracle's raw-string join matches it exactly
+    barring a 64-bit collision inside this fixed corpus (verified
+    absent)."""
+    from gpml2pvjson_js_spark.operators.scrub import (
+        contamination_report, hash_sample)
+    docs = _read(spark, sf_dir, "documents")
+    eval_docs = hash_sample(docs, "doc_id", 0.05)
+    train = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+        >= F.lit(_hex_threshold(0.05)))
+    return contamination_report(train, eval_docs, n=4)
+
+
 def q_repetition_score(spark, sf_dir):
     """Gopher-style repetition features: duplicate-token and
     duplicate-2-gram fractions per document."""
@@ -679,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "repetition_score": q_repetition_score,
+        "decontamination": q_decontamination,
         # skew handling (salting: same values as unsalted oracle)
         "skew_salted_join": q_skew_salted_join,
         "skew_salted_repartition": q_skew_salted_repartition,
@@ -1088,6 +1111,44 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 'de' THEN '{_hex_threshold(0.25)}'
                     WHEN 'fr' THEN '{_hex_threshold(0.1)}'
                     ELSE '{_hex_threshold(0.0)}' END
+        """,
+        # decontamination: eval split = md5-prefix < f(0.05) (same rule
+        # as hash_sample), train = the rest; 4-gram sets are built
+        # positionally with the same tokenization as repetition_score,
+        # distinct per doc, and the report counts each train doc's
+        # distinct grams appearing in ANY eval doc. The oracle joins
+        # raw gram strings; the Spark side joins xxhash64(gram) — equal
+        # results barring a 64-bit collision in this fixed corpus.
+        "decontamination": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(
+                       [array_to_string(w[i+1:i+4], ' ')
+                        FOR i IN range(0, greatest(len(w) - 3, 0))]
+                     ) AS grams
+              FROM t),
+            ev AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '{_hex_threshold(0.05)}'),
+            tr AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    >= '{_hex_threshold(0.05)}'),
+            hits AS (
+              SELECT tr.doc_id, count(*) AS n_overlap
+              FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+                   coalesce(h.n_overlap, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents
+                  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        >= '{_hex_threshold(0.05)}') d
+            LEFT JOIN hits h USING (doc_id)
         """,
         # repetition features: tokenization identical to token_counts
         # (lower/trim/split on \s+); 2-grams built positionally so

@@ -24,6 +24,14 @@ Scale notes (100 TB):
 - ``stratified_sample`` is the same filter with a per-stratum
   threshold (a CASE over a small literal map) — still a narrow
   filter; no groupBy, no window, no sampling state.
+- ``contamination_report`` / ``decontaminate`` (GPT-3/Gopher-style
+  eval-set decontamination) keep the 100 TB train side cheap: the
+  eval side (benchmarks are small by construction) collapses to a
+  distinct 8-byte-hashed n-gram set that is explicitly broadcast, so
+  the train side is one narrow explode + broadcast hash join + one
+  map-side-combinable count per doc — the only shuffle is that
+  per-doc agg, and removal is a broadcast anti-join (the flagged-id
+  set is small), so the surviving corpus never shuffles at all.
 """
 
 from __future__ import annotations
@@ -109,6 +117,77 @@ def stratified_sample(df: DataFrame, key_col: str, strata_col: str,
             .otherwise(th)
     return df.filter(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < th)
+
+
+def _distinct_ngrams(text_col: str, n: int) -> Column:
+    """Distinct positional word n-grams of `text_col`, tokenized
+    exactly like repetition_score/text_analysis (lower, trim, split
+    on whitespace) so contamination thresholds and repetition
+    thresholds see the same token stream. Documents shorter than n
+    tokens yield an empty array (never a partial gram)."""
+    toks = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.expr(
+        f"array_distinct(CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE array() END)")
+
+
+def contamination_report(train: DataFrame, eval_docs: DataFrame,
+                         n: int = 8, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         hash_grams: bool = True) -> DataFrame:
+    """Eval-set contamination report (the GPT-3 appendix-C /
+    Gopher recipe): for every train document, count the DISTINCT
+    word n-grams it shares with ANY eval document, and flag it
+    contaminated if that count is > 0. Returns one row per train doc:
+    (id_col, n_overlap, contaminated).
+
+    Shape at scale: the eval side reduces to a distinct gram set —
+    small by construction (eval benchmarks are thousands of docs, not
+    billions) — hashed to 8-byte xxhash64 when `hash_grams` (the
+    default; shrinks the broadcast ~10x vs raw strings and is
+    deterministic, so results are reproducible run-over-run) and
+    EXPLICITLY broadcast (this repo disables auto-broadcast). The
+    train side is a narrow explode + broadcast hash join; the only
+    shuffle is the map-side-combinable count per doc. The hit table
+    (one row per contaminated doc) is broadcast back onto the train
+    ids, so the full train corpus itself never shuffles.
+    """
+    grams = _distinct_ngrams(text_col, n)
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    eval_grams = (eval_docs
+                  .select(F.explode(grams).alias("_gram"))
+                  .select(key(F.col("_gram")).alias("_gk"))
+                  .distinct())
+    hits = (train
+            .select(F.col(id_col), F.explode(grams).alias("_gram"))
+            .select(id_col, key(F.col("_gram")).alias("_gk"))
+            .join(F.broadcast(eval_grams), "_gk")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (train.select(id_col)
+            .join(F.broadcast(hits), id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_overlap"), F.lit(0))
+                     .cast("long").alias("n_overlap"))
+            .withColumn("contaminated", F.col("n_overlap") > 0))
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame,
+                  n: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  hash_grams: bool = True) -> DataFrame:
+    """Drop train documents sharing any word n-gram with the eval
+    set. The flagged-id set is small, so removal is a broadcast
+    LEFT ANTI join — the surviving corpus passes through without a
+    shuffle."""
+    flagged = (contamination_report(train, eval_docs, n=n,
+                                    id_col=id_col, text_col=text_col,
+                                    hash_grams=hash_grams)
+               .filter(F.col("contaminated"))
+               .select(id_col))
+    return train.join(F.broadcast(flagged), id_col, "left_anti")
 
 
 def repetition_score(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 
 from gpml2pvjson_js_spark.operators.scrub import (
     _hex_threshold,
+    contamination_report,
+    decontaminate,
     hash_sample,
     redact_pii,
     repetition_score,
@@ -120,6 +122,68 @@ def test_repetition_score_hand_computed(spark):
     assert out[3]["n_tokens"] == 1  # [''], matching token_counts
     assert out[4]["dup_token_frac"] == pytest.approx(4 / 6)
     assert out[4]["dup_2gram_frac"] == pytest.approx(3 / 5)
+
+
+@pytest.fixture(scope="module")
+def contam_corpus(spark):
+    """Train doc 10 shares exactly two distinct 3-grams with eval
+    ('b c d' appears twice in doc 10 but is ONE distinct gram; 'c d e'
+    is the second); doc 11 shares one; docs 12/13 share none (13 is
+    shorter than n). Eval doc 1 is irrelevant noise."""
+    train = spark.createDataFrame([
+        (10, "a b c d e b c d"),   # grams shared w/ eval0: b c d, c d e
+        (11, "x y z b c d"),       # shared: b c d
+        (12, "p q r s t"),         # none
+        (13, "u v"),               # shorter than n=3 -> no grams
+    ], ["doc_id", "text"])
+    ev = spark.createDataFrame([
+        (0, "b c d e f"),
+        (1, "m n o"),
+    ], ["doc_id", "text"])
+    return train, ev
+
+
+def test_contamination_report_hand_computed(contam_corpus):
+    train, ev = contam_corpus
+    out = {r["doc_id"]: r for r in
+           contamination_report(train, ev, n=3).collect()}
+    assert len(out) == 4  # every train doc reported, zeros included
+    assert out[10]["n_overlap"] == 2 and out[10]["contaminated"]
+    assert out[11]["n_overlap"] == 1 and out[11]["contaminated"]
+    assert out[12]["n_overlap"] == 0 and not out[12]["contaminated"]
+    assert out[13]["n_overlap"] == 0 and not out[13]["contaminated"]
+
+
+def test_contamination_hash_path_matches_string_path(contam_corpus):
+    """hash_grams=True (the broadcast-shrinking scale default) must
+    give identical reports to the raw-string join."""
+    train, ev = contam_corpus
+    hashed = sorted(map(tuple, contamination_report(
+        train, ev, n=3, hash_grams=True).collect()))
+    raw = sorted(map(tuple, contamination_report(
+        train, ev, n=3, hash_grams=False).collect()))
+    assert hashed == raw
+
+
+def test_decontaminate_removes_only_flagged(contam_corpus):
+    train, ev = contam_corpus
+    kept = decontaminate(train, ev, n=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12, 13]
+    # survivors pass through with all columns intact
+    assert kept.columns == train.columns
+
+
+def test_contamination_joins_are_broadcast(contam_corpus):
+    """100 TB contract: the gram join and the report/anti joins are
+    BroadcastHashJoin (this session disables auto-broadcast, so these
+    prove the EXPLICIT broadcasts); the train corpus never sort-merge
+    joins, and the only Exchange is the per-doc count agg."""
+    train, ev = contam_corpus
+    for df, n_bhj in ((contamination_report(train, ev, n=3), 2),
+                      (decontaminate(train, ev, n=3), 2)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= n_bhj, plan
 
 
 def test_scrub_plans_are_narrow(pii_docs, keyed):
