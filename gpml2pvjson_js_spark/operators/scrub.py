@@ -177,15 +177,18 @@ def contamination_report(train: DataFrame, eval_docs: DataFrame,
 def decontaminate(train: DataFrame, eval_docs: DataFrame,
                   n: int = 8, id_col: str = "doc_id",
                   text_col: str = "text",
-                  hash_grams: bool = True) -> DataFrame:
-    """Drop train documents sharing any word n-gram with the eval
-    set. The flagged-id set is small, so removal is a broadcast
-    LEFT ANTI join — the surviving corpus passes through without a
-    shuffle."""
+                  hash_grams: bool = True,
+                  min_overlap: int = 1) -> DataFrame:
+    """Drop train documents sharing >= `min_overlap` distinct word
+    n-grams with the eval set (min_overlap=1 is the GPT-3
+    any-collision rule; raise it for Gopher-style thresholded
+    flagging that tolerates incidental short-phrase overlap). The
+    flagged-id set is small, so removal is a broadcast LEFT ANTI
+    join — the surviving corpus passes through without a shuffle."""
     flagged = (contamination_report(train, eval_docs, n=n,
                                     id_col=id_col, text_col=text_col,
                                     hash_grams=hash_grams)
-               .filter(F.col("contaminated"))
+               .filter(F.col("n_overlap") >= min_overlap)
                .select(id_col))
     return train.join(F.broadcast(flagged), id_col, "left_anti")
 

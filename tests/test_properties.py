@@ -21,6 +21,7 @@ from __future__ import annotations
 from xml.sax.saxutils import quoteattr
 
 import pytest
+from pyspark.sql import functions as F
 
 try:
     from hypothesis import HealthCheck, given, settings
@@ -240,3 +241,118 @@ def test_connected_components_matches_union_find(spark, graphs):
     got = {r["id"]: r["component"]
            for r in connected_components(df).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# scrub operators vs pure-Python oracles on random ASCII corpora
+# ---------------------------------------------------------------------------
+# Alphabet is printable ASCII on purpose: the oracles below use
+# Python `re`, and \d / \s / \b diverge from Java regex on unicode
+# (Python matches unicode digits/spaces by default, Java does not);
+# on ASCII the two engines agree exactly, which is the property under
+# test. Unicode behavior is pinned separately by the DuckDB oracles
+# over the real corpus.
+
+_SCRUB_ALPHABET = " abcdefghij0123456789.@+-"
+
+_scrub_text = st.text(alphabet=st.sampled_from(list(_SCRUB_ALPHABET)),
+                      max_size=60)
+
+
+def _py_redact(text: str):
+    import re
+    from gpml2pvjson_js_spark.operators.scrub import (
+        EMAIL_RE, EMAIL_TAG, IP_TAG, IPV4_RE, PHONE_RE, PHONE_TAG)
+    counts = tuple(len(re.findall(p, text, re.ASCII))
+                   for p in (EMAIL_RE, IPV4_RE, PHONE_RE))
+    out = re.sub(EMAIL_RE, EMAIL_TAG, text, flags=re.ASCII)
+    out = re.sub(IPV4_RE, IP_TAG, out, flags=re.ASCII)
+    out = re.sub(PHONE_RE, PHONE_TAG, out, flags=re.ASCII)
+    return counts, out
+
+
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(texts=st.lists(_scrub_text, min_size=1, max_size=40))
+def test_redact_pii_matches_re_and_is_idempotent(spark, texts):
+    """One Spark call over a batch of random ASCII strings: counts
+    and redacted text must equal Python `re` with the same patterns,
+    and re-redacting the redacted text must be a no-op (no tag ever
+    creates a new match)."""
+    from gpml2pvjson_js_spark.operators.scrub import redact_pii
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    once = redact_pii(df)
+    twice = (redact_pii(once.select("doc_id",
+                                    F.col("redacted").alias("text")))
+             .select("doc_id", F.col("redacted").alias("re_redacted")))
+    rows = {r["doc_id"]: r for r in
+            once.join(twice, "doc_id").collect()}
+    for i, text in enumerate(texts):
+        (ne, ni, np_), red = _py_redact(text)
+        r = rows[i]
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (ne, ni, np_)
+        assert r["redacted"] == red
+        assert r["re_redacted"] == r["redacted"]
+
+
+def _py_tokens(text: str):
+    import re
+    return re.split(r"\s+", text.lower().strip())
+
+
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(texts=st.lists(_scrub_text, min_size=1, max_size=40))
+def test_repetition_score_matches_python_and_bounded(spark, texts):
+    """Duplicate-token/2-gram fractions equal a direct Python
+    computation with the shared tokenization, and are always in
+    [0, 1] with n_tokens >= 1 (empty text tokenizes to [''])."""
+    from gpml2pvjson_js_spark.operators.scrub import repetition_score
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_score(df).collect()}
+    for i, text in enumerate(texts):
+        toks = _py_tokens(text)
+        g2 = [f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)]
+        r = rows[i]
+        assert r["n_tokens"] == len(toks) >= 1
+        exp_tok = (len(toks) - len(set(toks))) / len(toks)
+        exp_g2 = ((len(g2) - len(set(g2))) / len(g2)) if g2 else 0.0
+        assert r["dup_token_frac"] == pytest.approx(exp_tok)
+        assert r["dup_2gram_frac"] == pytest.approx(exp_g2)
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        assert 0.0 <= r["dup_2gram_frac"] <= 1.0
+
+
+def _py_grams(text: str, n: int) -> set:
+    toks = _py_tokens(text)
+    return {" ".join(toks[i:i + n])
+            for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
+
+
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(train=st.lists(_scrub_text, min_size=1, max_size=25),
+       ev=st.lists(_scrub_text, min_size=1, max_size=8),
+       n=st.integers(min_value=1, max_value=4))
+def test_contamination_report_matches_python_oracle(spark, train, ev, n):
+    """contamination_report (the hashed scale path) over random
+    corpora equals a direct Python distinct-n-gram intersection for
+    every train doc, zeros included."""
+    from gpml2pvjson_js_spark.operators.scrub import contamination_report
+    tdf = spark.createDataFrame(list(enumerate(train)),
+                                "doc_id long, text string")
+    edf = spark.createDataFrame(list(enumerate(ev)),
+                                "doc_id long, text string")
+    ev_grams = set().union(*(_py_grams(t, n) for t in ev))
+    rows = {r["doc_id"]: r for r in
+            contamination_report(tdf, edf, n=n).collect()}
+    assert len(rows) == len(train)
+    for i, text in enumerate(train):
+        exp = len(_py_grams(text, n) & ev_grams)
+        assert rows[i]["n_overlap"] == exp
+        assert rows[i]["contaminated"] == (exp > 0)

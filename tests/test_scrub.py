@@ -173,6 +173,14 @@ def test_decontaminate_removes_only_flagged(contam_corpus):
     assert kept.columns == train.columns
 
 
+def test_decontaminate_min_overlap_threshold(contam_corpus):
+    """min_overlap=2 keeps doc 11 (one shared gram) and still drops
+    doc 10 (two)."""
+    train, ev = contam_corpus
+    kept = decontaminate(train, ev, n=3, min_overlap=2)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 12, 13]
+
+
 def test_contamination_joins_are_broadcast(contam_corpus):
     """100 TB contract: the gram join and the report/anti joins are
     BroadcastHashJoin (this session disables auto-broadcast, so these
