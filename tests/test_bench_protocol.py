@@ -66,3 +66,19 @@ def test_contention_pct_window_math():
     pct = bench._contention_pct(before, after)
     assert pct["steal_pct"] == 2.0        # 20 / 1000
     assert pct["disk_busy_pct"] == 50.0   # 5 s busy / 10 s wall
+
+
+def test_flag_window_marks_contaminated_in_place():
+    dirty = {"steal_pct": 13.76, "disk_busy_pct": 2.4}
+    bench._flag_window(dirty)
+    assert dirty["contaminated"] is True
+    assert dirty["contamination"] == ["steal 13.76%"]
+    clean = {"steal_pct": 0.05, "disk_busy_pct": 0.9}
+    bench._flag_window(clean)
+    # a clean window must NOT add the key at all — `contaminated`
+    # absent is the self-certification the driver artifact relies on
+    assert "contaminated" not in clean and "contamination" not in clean
+    # sampling failure (no pct keys) is likewise unflagged
+    empty = {}
+    bench._flag_window(empty)
+    assert empty == {}
