@@ -124,6 +124,35 @@ def _stage(df: DataFrame) -> DataFrame:
         storageLevel=_STAGE_LEVELS.get(mode,
                                        StorageLevel.MEMORY_AND_DISK))
 
+
+def _stage_many(named: dict) -> dict:
+    """Checkpoint INDEPENDENT sibling frames concurrently.
+
+    With AQE on, each lazy localCheckpoint's toRdd synchronously
+    materializes the subtree's shuffle stages (AdaptiveSparkPlanExec
+    awaitReady) — so sequential _stage calls serialize cluster work on
+    the driver construction thread, one frame at a time, while the
+    executors sit mostly idle. Submitting sibling checkpoints from a
+    small thread pool overlaps those materialization jobs exactly the
+    way the pipeline overlaps stage commits (guide §2.6). This is
+    driver threading only: the frames still source from the committed
+    parquet / prior checkpoints, so the round-5 anti-scaling failure
+    (model stages sourced from a shared full-width parse checkpoint,
+    reverted on evidence) does not reappear.
+    """
+    import os
+    items = {k: v for k, v in named.items() if v is not None}
+    if len(items) <= 1 or \
+            os.environ.get("SPARK_GRAFT_PARALLEL_PLANNING", "1") != "1":
+        return {k: _stage(df) for k, df in named.items()}
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(4, len(items))) as ex:
+        futs = {k: ex.submit(_stage, df) for k, df in items.items()}
+        out = dict(named)
+        out.update({k: f.result() for k, f in futs.items()})
+        return out
+
+
 from . import edges as E
 from . import entities as N
 from . import groups as G
@@ -198,8 +227,23 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
     # scaling efficiency >= 0.8 at replicate 64.
     converted = _stage(N.convert_nodeish(N.with_defaults(ok, spark)))
 
-    free_nodes = _stage(N.build_free_nodes(converted))
-    states = _stage(N.build_states(converted))
+    citations = N.build_citations(ok)
+    vocabularies = N.build_vocabularies(ok)
+    # sibling frames checkpoint CONCURRENTLY (_stage_many): states'
+    # self-join and citations' window materialize their AQE stages in
+    # overlapping jobs instead of serially on this thread.
+    # citations/vocabularies depend only on `ok`, so their (returned-
+    # frame) checkpoints can ride this early round when stage_outputs.
+    early = {"free_nodes": N.build_free_nodes(converted),
+             "states": N.build_states(converted)}
+    if stage_outputs:
+        early["citations"] = citations
+        early["vocabularies"] = vocabularies
+    early = _stage_many(early)
+    free_nodes, states = early["free_nodes"], early["states"]
+    if stage_outputs:
+        citations, vocabularies = early["citations"], \
+            early["vocabularies"]
     anchors = N.build_anchors(converted)
     membership = G.group_membership(converted)
     groups = _stage(G.build_groups(converted, free_nodes, states,
@@ -266,8 +310,6 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
                      allowMissingColumns=True)
     )
 
-    citations = N.build_citations(ok)
-    vocabularies = N.build_vocabularies(ok)
     pathways = N.build_pathways(ok)
 
     # pathway.contains: top-level (not grouped, not burr) entities,
@@ -306,13 +348,17 @@ def build_document_model(spark: SparkSession, pages: DataFrame,
     # triples, linking) references nodes/edges several times —
     # without the cut, the 20-branch triples union re-inlines the
     # whole join DAG into one multi-MB plan
-    out_stage = _stage if stage_outputs else (lambda df: df)
+    if stage_outputs:
+        final = _stage_many({"nodes": nodes, "edges": edges3,
+                             "pathways": pathways})
+        nodes, edges3, pathways = final["nodes"], final["edges"], \
+            final["pathways"]
     return {
         "mentions": ok,
         "quarantine": quarantine,
-        "nodes": out_stage(nodes),
-        "edges": out_stage(edges3),
-        "citations": out_stage(citations),
-        "vocabularies": out_stage(vocabularies),
-        "pathways": out_stage(pathways),
+        "nodes": nodes,
+        "edges": edges3,
+        "citations": citations,
+        "vocabularies": vocabularies,
+        "pathways": pathways,
     }

@@ -191,7 +191,17 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     scale set it (e.g. 10_000) to bound the quadratic pair blowup of
     boilerplate-dominated buckets."""
     rows_per_band = num_perm // bands
-    sh = _shingle_df(docs, id_col, text_col, shingle_n)
+    # the shingle frame feeds THREE independent consumers (the
+    # signature aggregation and both sides of the exact-Jaccard
+    # verify join); without a plan cut each consumer re-runs the
+    # Arrow shingle UDF over the full corpus. A lazy SERIALIZED
+    # localCheckpoint computes it once — the same fan-out staging
+    # pattern the KG pipeline uses (guide §4: pay the Python
+    # boundary once, not per consumer).
+    from pyspark.storagelevel import StorageLevel
+    sh = _shingle_df(docs, id_col, text_col, shingle_n) \
+        .localCheckpoint(eager=False,
+                         storageLevel=StorageLevel.MEMORY_AND_DISK)
     sigs = _sig_df(sh, num_perm)
     # band-bucket self-join carries ONLY (doc_id, band, bucket) — at
     # corpus scale the candidate-generation shuffle must not move

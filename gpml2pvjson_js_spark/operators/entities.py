@@ -300,10 +300,12 @@ _RENAME = {
 
 
 def _finish(df: DataFrame) -> DataFrame:
-    out = df.select(*_ENTITY_COLS)
-    for old, new in _RENAME.items():
-        out = out.withColumnRenamed(old, new)
-    return out
+    # ONE aliased select: a withColumnRenamed chain re-analyzes the
+    # whole (wide) plan once per rename — 10 renames x 3 call sites
+    # was a measurable slice of driver-side DAG-construction time
+    return df.select(*[
+        F.col(c).alias(_RENAME[c]) if c in _RENAME else F.col(c)
+        for c in _ENTITY_COLS])
 
 
 def build_free_nodes(converted: DataFrame) -> DataFrame:

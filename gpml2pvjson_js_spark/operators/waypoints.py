@@ -105,7 +105,7 @@ def synthesize_waypoints(edges: DataFrame,
     # stays one lazy DAG (same rationale as the fixed-round CC mode in
     # canonicalize.py). Curvy-edge chains deeper than max_rounds pass
     # through unchanged (reference cycle tolerance).
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # an edge is ready when each edge-typed endpoint ref has
         # resolved points in the pool
         refs = needs.select(*DOC_KEY, "id",
@@ -160,16 +160,35 @@ def synthesize_waypoints(edges: DataFrame,
         # the iterative lineage without restaging the whole corpus;
         # SERIALIZED blocks (deserialized storage measured to
         # GC-thrash at high parallelism)
-        fixed = ready2.mapInPandas(_synthesize_batch, out_schema) \
-            .localCheckpoint(eager=False,
-                             storageLevel=StorageLevel.MEMORY_AND_DISK)
+        def _ck(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+        fixed_df = ready2.mapInPandas(_synthesize_batch, out_schema)
+        needs_next = needs.join(ready_ids, [*DOC_KEY, "id"], "left_anti")
+        if rnd + 1 < max_rounds:
+            # the round's two checkpoints are independent siblings —
+            # with AQE on, a lazy checkpoint's toRdd materializes its
+            # shuffle stages synchronously, so checkpointing them
+            # concurrently overlaps those jobs (same rationale as
+            # assemble._stage_many). After the LAST round, extending
+            # the pool is dead code and the final `needs` (cycle
+            # passthrough) is referenced exactly once, so its
+            # checkpoint would buy nothing — each skipped lazy
+            # checkpoint saves a full planning+materialization pass
+            # on the driver.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                ff, nf = ex.submit(_ck, fixed_df), \
+                    ex.submit(_ck, needs_next)
+                fixed, needs = ff.result(), nf.result()
+            pool = pool.unionByName(fixed.select(
+                F.col("url").alias("d_url"), F.col("frag").alias("d_frag"),
+                F.col("id").alias("d_id"),
+                F.col("points").alias("d_points")))
+        else:
+            fixed, needs = _ck(fixed_df), needs_next
         fixed_parts.append(fixed)
-        pool = pool.unionByName(fixed.select(
-            F.col("url").alias("d_url"), F.col("frag").alias("d_frag"),
-            F.col("id").alias("d_id"), F.col("points").alias("d_points")))
-        needs = needs.join(ready_ids, [*DOC_KEY, "id"], "left_anti") \
-            .localCheckpoint(eager=False,
-                             storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     out = rest
     for part in fixed_parts:
