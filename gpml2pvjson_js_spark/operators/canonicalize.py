@@ -100,7 +100,7 @@ def _cc_iterative(sym: DataFrame, max_rounds: int,
     labels = sym.select(F.col("src").alias("id")).distinct() \
         .withColumn("lbl", _ranked(F.col("id")))
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # (a) hop: min label among neighbors
         nbr = sym.join(labels.select(F.col("id").alias("dst2"),
                                      F.col("lbl").alias("nbr_lbl")),
@@ -127,7 +127,15 @@ def _cc_iterative(sym: DataFrame, max_rounds: int,
             "id",
             F.least(F.col("lbl"),
                     F.coalesce(F.col("p_min"), F.col("lbl"))).alias("lbl"),
-        ).localCheckpoint(eager=False, storageLevel=_SER)
+        )
+        # checkpoint every OTHER round (and the last): the checkpoint
+        # only cuts lineage — letting it span two rounds halves the
+        # per-round Catalyst planning passes (each lazy checkpoint's
+        # toRdd plans AND materializes its subtree synchronously)
+        # while keeping plan depth bounded at two rounds' joins.
+        if rnd % 2 == 1 or rnd == max_rounds - 1:
+            new_labels = new_labels.localCheckpoint(
+                eager=False, storageLevel=_SER)
 
         if check_convergence:
             changed = labels.withColumnRenamed("lbl", "old").join(
@@ -271,7 +279,11 @@ def canonicalize_linked(linked: DataFrame,
 
 def rewrite_triples(triples: DataFrame, cmap: DataFrame) -> DataFrame:
     """Rewrite subj/obj to canonical ids where a mapping exists (two
-    equi joins on (url, frag, local id))."""
+    equi joins on (url, frag, local id)). The canonical map feeds both
+    the subj and obj joins — a lazy checkpoint computes it once
+    instead of inlining its build (broadcast join + dedup exchange)
+    twice."""
+    cmap = cmap.localCheckpoint(eager=False, storageLevel=_SER)
     s = cmap.select(F.col("url").alias("s_url"), F.col("frag").alias("s_frag"),
                     F.col("id").alias("s_id"),
                     F.col("canonical").alias("s_canon"))

@@ -231,7 +231,14 @@ def classify_interactions(edges: DataFrame, nodes: DataFrame,
         "conversion_direction",
     )
 
-    # Catalysis fix-up 2: controlled generic Interaction -> Conversion
+    # Catalysis fix-up 2: controlled generic Interaction -> Conversion.
+    # `first` (the whole classification join DAG) feeds both the self-
+    # join probe and the output; a lazy checkpoint computes it once
+    # instead of re-executing its two endpoint-facts joins per
+    # reference (same single-evaluation pattern as the model build).
+    from pyspark.storagelevel import StorageLevel
+    first = first.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     cat = first.filter(F.col("biopax_type") == "Catalysis").select(
         F.col("url").alias("c_url"), F.col("frag").alias("c_frag"),
         F.col("controlled").alias("c_controlled"))
