@@ -8,6 +8,7 @@ expression (JVM-side, codegen-friendly) — no Python UDFs.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -117,6 +118,16 @@ def _decode_numeric_entities(col: Column) -> Column:
 
     return F.when(col.isNull(), F.lit(None)).otherwise(
         F.concat_ws("", F.transform(parts, piece)))
+
+
+@lru_cache(maxsize=None)
+def html_unescape_name(name: str) -> Column:
+    """``html_unescape(F.col(name))`` memoized per process: the
+    decode chain costs ~60 py4j round-trips to construct, the same
+    few named columns recur on every model build, and unresolved
+    Columns are immutable / DataFrame-independent, so reuse is
+    safe."""
+    return html_unescape(F.col(name))
 
 
 def html_unescape(col: Column) -> Column:

@@ -38,11 +38,25 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+_SALT_COL_CACHE: dict[tuple, Column] = {}
+
+
 def salt_column(cols: list[str | Column], n_salts: int = DEFAULT_SALTS,
                 seed: int = 0) -> Column:
     """Deterministic salt in [0, n_salts) derived from `cols` (use
     fine-grained columns — e.g. the element id inside a giant page —
-    so one hot coarse key spreads)."""
+    so one hot coarse key spreads). Memoized when `cols` are names
+    (the common case — both in-repo callers pass strings): the
+    xxhash64 over ~40 columns is hundreds of py4j round-trips and the
+    same wide column lists recur on every model build."""
+    if all(isinstance(c, str) for c in cols):
+        key = (tuple(cols), n_salts, seed)
+        col = _SALT_COL_CACHE.get(key)
+        if col is None:
+            col = F.pmod(F.xxhash64(*cols, F.lit(seed)),
+                         F.lit(n_salts)).cast("int")
+            _SALT_COL_CACHE[key] = col
+        return col
     return F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(n_salts)) \
         .cast("int")
 
@@ -63,6 +77,25 @@ def salted_repartition(df: DataFrame, keys: list[str],
     return out.drop("__salt")
 
 
+_TYPED_NULL_CACHE: dict[tuple, list] = {}
+
+
+def _typed_null_cols(schema) -> list:
+    """`lit(None).cast(type).alias(name)` per field — memoized on the
+    schema signature. The same few right-side schemas recur on every
+    waypoint round / model build, and rebuilding the list cost ~1.9k
+    py4j round-trips per build; unresolved Columns are immutable and
+    DataFrame-independent, so reuse is safe."""
+    key = tuple((f.name, f.dataType.json(), f.nullable)
+                for f in schema.fields)
+    cols = _TYPED_NULL_CACHE.get(key)
+    if cols is None:
+        cols = [F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields]
+        _TYPED_NULL_CACHE[key] = cols
+    return cols
+
+
 def left_join_skipping_null_keys(left: DataFrame, right: DataFrame,
                                  cond, null_key: str | Column
                                  ) -> DataFrame:
@@ -75,9 +108,8 @@ def left_join_skipping_null_keys(left: DataFrame, right: DataFrame,
     rows a plain left join would have produced."""
     k = F.col(null_key) if isinstance(null_key, str) else null_key
     matched = left.filter(k.isNotNull()).join(right, cond, "left")
-    null_right = [F.lit(None).cast(f.dataType).alias(f.name)
-                  for f in right.schema.fields]
-    passthrough = left.filter(k.isNull()).select("*", *null_right)
+    passthrough = left.filter(k.isNull()).select(
+        "*", *_typed_null_cols(right.schema))
     return matched.unionByName(passthrough)
 
 

@@ -92,6 +92,32 @@ def _eff(df: DataFrame, col: str) -> Column:
     return F.coalesce(df[col], df["d_" + col])
 
 
+_EFF_EXPRS: dict | None = None
+
+
+def _eff_exprs() -> dict:
+    """The eff_* defaults-layering projection — a pure function of
+    the module constants, built once per process (unresolved Columns
+    are immutable and DataFrame-independent; rebuilding the dict cost
+    ~0.6k py4j round-trips per model build)."""
+    global _EFF_EXPRS
+    if _EFF_EXPRS is None:
+        exprs = {}
+        for c in _DEFAULT_COLS:
+            if c == "style":
+                continue
+            base = F.coalesce(F.col(c), F.col("d_" + c))
+            if c in ("shape_type", "line_style", "line_thickness",
+                     "fill_color"):
+                base = F.coalesce(F.col("s_" + c), base)
+            exprs["eff_" + c] = base
+        exprs["eff_padding"] = F.coalesce(F.col("s_padding"),
+                                          F.col("d_padding"))
+        exprs["style_types"] = F.col("s_types")
+        _EFF_EXPRS = exprs
+    return _EFF_EXPRS
+
+
 def with_defaults(mentions: DataFrame, spark: SparkSession) -> DataFrame:
     """Layer class defaults (P16) via a broadcast dimension join, then
     group-style overrides (higher precedence than explicit values,
@@ -105,18 +131,7 @@ def with_defaults(mentions: DataFrame, spark: SparkSession) -> DataFrame:
                F.coalesce(df.style, df.d_style)),
     )
     df = df.join(F.broadcast(g), df.eff_style == g.s_style, "left")
-
-    exprs = {}
-    for c in _DEFAULT_COLS:
-        if c == "style":
-            continue
-        base = F.coalesce(F.col(c), F.col("d_" + c))
-        if c in ("shape_type", "line_style", "line_thickness", "fill_color"):
-            base = F.coalesce(F.col("s_" + c), base)
-        exprs["eff_" + c] = base
-    exprs["eff_padding"] = F.coalesce(F.col("s_padding"), F.col("d_padding"))
-    exprs["style_types"] = F.col("s_types")
-    out = df.withColumns(exprs)
+    out = df.withColumns(_eff_exprs())
     return out.drop(*["d_" + c for c in _DEFAULT_COLS], "d_padding",
                     "s_style", "s_shape_type", "s_line_style",
                     "s_line_thickness", "s_fill_color", "s_padding",
@@ -253,9 +268,9 @@ def convert_nodeish(df: DataFrame) -> DataFrame:
                      F.lit(15.0)),
         "ry": F.when(F.col("eff_shape_type") == "RoundedRectangle",
                      F.lit(15.0)),
-        "text_content": C.html_unescape(F.col("text_label")),
+        "text_content": C.html_unescape_name("text_label"),
         "href_out": F.when(F.col("href").isNotNull(),
-                           C.encode_uri(C.html_unescape(F.col("href")))),
+                           C.encode_uri(C.html_unescape_name("href"))),
         "cellular_component": F.element_at(F.col("attributes"),
                                            _CELLULAR_KEY),
         "backpage_head": F.element_at(F.col("attributes"), _BACKPAGE_KEY),
@@ -299,13 +314,23 @@ _RENAME = {
 }
 
 
+_FINISH_COLS: list | None = None
+
+
 def _finish(df: DataFrame) -> DataFrame:
     # ONE aliased select: a withColumnRenamed chain re-analyzes the
     # whole (wide) plan once per rename — 10 renames x 3 call sites
-    # was a measurable slice of driver-side DAG-construction time
-    return df.select(*[
-        F.col(c).alias(_RENAME[c]) if c in _RENAME else F.col(c)
-        for c in _ENTITY_COLS])
+    # was a measurable slice of driver-side DAG-construction time.
+    # The select list is a pure function of the module constants, so
+    # it is built once per process: unresolved Columns are immutable
+    # and DataFrame-independent, and re-creating the 48-entry list
+    # cost ~2.9k py4j round-trips per model build.
+    global _FINISH_COLS
+    if _FINISH_COLS is None:
+        _FINISH_COLS = [
+            F.col(c).alias(_RENAME[c]) if c in _RENAME else F.col(c)
+            for c in _ENTITY_COLS]
+    return df.select(*_FINISH_COLS)
 
 
 def build_free_nodes(converted: DataFrame) -> DataFrame:
@@ -396,8 +421,8 @@ def build_citations(mentions: DataFrame) -> DataFrame:
         F.lit("PublicationXref").alias("gpml_element_name"),
         F.col("xref_identifier"),
         F.col("pub_db").alias("xref_datasource"),
-        C.html_unescape(F.col("pub_title")).alias("standard_name"),
-        C.html_unescape(F.col("pub_source")).alias("source"),
+        C.html_unescape_name("pub_title").alias("standard_name"),
+        C.html_unescape_name("pub_source").alias("source"),
         F.col("pub_year").cast("int").alias("year"),
         F.transform(F.col("pub_authors"),
                     lambda a: C.html_unescape(a)).alias("authors"),
@@ -473,11 +498,11 @@ def build_pathways(mentions: DataFrame) -> DataFrame:
         is_similar_to.alias("is_similar_to"),
         F.col("organism"),
         F.col("license"),
-        C.html_unescape(F.col("data_source")).alias("data_source"),
+        C.html_unescape_name("data_source").alias("data_source"),
         F.col("version").alias("data_source_version"),
-        C.html_unescape(F.col("author")).alias("author"),
-        C.html_unescape(F.col("email")).alias("email"),
-        C.html_unescape(F.col("maintainer")).alias("maintainer"),
+        C.html_unescape_name("author").alias("author"),
+        C.html_unescape_name("email").alias("email"),
+        C.html_unescape_name("maintainer").alias("maintainer"),
         F.col("last_modified"),
         F.col("board_width").alias("width"),
         F.coalesce(F.col("board_height"),
