@@ -270,8 +270,11 @@ def jsonld_documents(model: dict,
     p_rows = p.select(*DOC_KEY, F.col("pathway_id").alias("pid"),
                       "pathway_json", null_s.alias("entry"))
     u = with_bucket_cols(e_rows.unionByName(p_rows), n_buckets, mult)
-    u = u.repartition(n_buckets * mult, F.col("bucket"),
-                      F.col("__wsalt"))
+    # layout keys without a fixed count: AQE sizes the exchange from
+    # runtime bytes (see SnapshotStore.commit) — partitioning on
+    # (bucket, __wsalt) still satisfies the groupBy's clustering AND
+    # the snapshot layout, so the document text is shuffled once.
+    u = u.repartition(F.col("bucket"), F.col("__wsalt"))
     per_doc = u.groupBy("bucket", "__wsalt", *DOC_KEY).agg(
         F.max("pid").alias("pathway_id"),
         F.max("pathway_json").alias("pathway_json"),

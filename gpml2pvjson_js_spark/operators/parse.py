@@ -481,19 +481,19 @@ def parse_gpml(pages: DataFrame) -> DataFrame:
 
 def extracted_text(pages: DataFrame) -> DataFrame:
     """(url, text) re-extracted from html — must match the corpus `text`
-    column byte-for-byte (the pytest invariant)."""
+    column byte-for-byte (the pytest invariant).
 
-    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "url": pdf["url"],
-                "extracted_text": [
-                    extract_page_text(bytes(h)) for h in pdf["html"]
-                ],
-            })
-
-    schema = T.StructType([
-        T.StructField("url", T.StringType()),
-        T.StructField("extracted_text", T.StringType()),
-    ])
-    return pages.select("url", "html").mapInPandas(run, schema)
+    Pure Catalyst: ``extract_page_text``'s regex findall + join is
+    expressed as regexp_extract_all + array_join on the JVM, removing
+    a second full-corpus Python/Arrow boundary (the first one is the
+    page synthesis itself). Java and Python regex agree exactly on
+    this pattern (literal delimiters, lazy dot-all group), and the
+    binary→string cast matches the UTF-8 decode because page html is
+    synthesized from parquet strings — valid UTF-8 by construction
+    (pinned against the Python kernel by test_parse_and_text)."""
+    return pages.select(
+        "url",
+        F.array_join(
+            F.regexp_extract_all(F.col("html").cast("string"),
+                                 F.lit(r"(?s)<p>(.*?)</p>"), F.lit(1)),
+            "\n").alias("extracted_text"))

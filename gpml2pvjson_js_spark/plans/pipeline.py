@@ -66,8 +66,12 @@ def bucketed_distinct(df: DataFrame, cols: list[str],
     dropDuplicates + commit-repartition would shuffle the full corpus
     twice."""
     b = with_bucket_cols(df, n_buckets, mult)
-    b = b.repartition(n_buckets * mult, F.col("bucket"),
-                      F.col("__wsalt"))
+    # no explicit partition count: hash keys fix the LAYOUT (which
+    # rows co-locate), while AQE sizes the task count from runtime
+    # bytes — coalescePartitions.parallelismFirst keeps corpus-scale
+    # frames at full parallelism and shrinks near-empty ones to a
+    # handful of write tasks instead of a fixed n_buckets * mult.
+    b = b.repartition(F.col("bucket"), F.col("__wsalt"))
     return b.dropDuplicates(["bucket", "__wsalt"] + cols)
 
 
@@ -158,8 +162,14 @@ class SnapshotStore:
                 "SPARK_GRAFT_WRITE_TASKS_PER_BUCKET", "2"))
             salt2 = F.pmod(F.xxhash64(F.col(bucket_col), F.lit(1)),
                            F.lit(mult))
-            (out.repartition(mult * self.n_buckets,
-                             F.col("bucket"), salt2)
+            # scale-adaptive write parallelism: the hash keys still
+            # pin the one-dir-per-task layout for corpus-scale frames
+            # (AQE's parallelismFirst coalescing never drops a frame
+            # >= ~cores x minPartitionSize below default parallelism),
+            # while near-empty stages (quarantine, vocabularies)
+            # coalesce to a few tasks instead of paying a fixed
+            # mult * n_buckets task floor per commit.
+            (out.repartition(F.col("bucket"), salt2)
                 .write.mode("overwrite").partitionBy("bucket")
                 .parquet(data_path))
         else:

@@ -62,3 +62,32 @@ def test_quarantine_and_bare_gpml(spark):
     assert len(errs) == 1 and "unsupported-namespace" in errs[0]["error"]
     bare = [r for r in rows if r["url"] == "u2"]
     assert sorted(r["frag"] for r in bare) == [0, 1]
+
+
+def test_extracted_text_matches_python_kernel_adversarial(spark):
+    """The Catalyst regexp_extract_all/array_join form of
+    extracted_text must agree with the row-at-a-time Python kernel
+    (extract_page_text) on adversarial html shapes: newlines inside
+    <p> (DOTALL), literal '</p>'-free truncation, nested/unclosed
+    tags, empty bodies, no matches, multi-byte UTF-8."""
+    from gpml2pvjson_js_spark.operators.parse import extract_page_text
+
+    htmls = [
+        b"<html><body><p>plain</p></body></html>",
+        b"<p>line one\nline two</p><p>second</p>",
+        b"<p>unclosed paragraph",
+        b"no paragraphs at all",
+        b"",
+        b"<p></p><p>x</p>",
+        b"<p>outer <p>inner</p> tail</p>",
+        "<p>café ☃ \U0001f600</p>".encode("utf-8"),
+        b"<p>first</p>\n\n<p>with <b>markup</b> kept</p>",
+        b"<P>upper not matched</P><p>lower</p>",
+    ]
+    rows = [(f"u{i}", h) for i, h in enumerate(htmls)]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    from gpml2pvjson_js_spark.operators.parse import extracted_text
+    got = {r["url"]: r["extracted_text"]
+           for r in extracted_text(pages).collect()}
+    want = {f"u{i}": extract_page_text(h) for i, h in enumerate(htmls)}
+    assert got == want
