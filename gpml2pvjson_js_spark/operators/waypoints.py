@@ -81,11 +81,6 @@ def synthesize_waypoints(edges: DataFrame,
     needs = edges.filter(F.col("draw_as").isin(*_CURVY))
     rest = edges.filter(~F.col("draw_as").isin(*_CURVY))
 
-    # which endpoint refs are edges (need referenced points)?
-    edge_ids = edges.select(
-        F.col("url").alias("e_url"), F.col("frag").alias("e_frag"),
-        F.col("id").alias("e_id"))
-
     # The loop state deliberately EXCLUDES the untouched majority:
     # `rest` (straight edges — most of the corpus) is emitted once at
     # the end and never re-staged. What carries between rounds is only
@@ -107,29 +102,28 @@ def synthesize_waypoints(edges: DataFrame,
     # through unchanged (reference cycle tolerance).
     for rnd in range(max_rounds):
         # an edge is ready when each edge-typed endpoint ref has
-        # resolved points in the pool
+        # resolved points in the pool. A ref is BLOCKED iff it names
+        # an edge whose points are not yet resolved — and the set of
+        # unresolved edges at round entry is exactly `needs` itself
+        # (rest + fixed parts + needs partition the edge ids), so one
+        # lookup against the small shrinking needs frame replaces the
+        # former pair of joins against all-edges and the full pool.
         refs = needs.select(*DOC_KEY, "id",
                             F.explode_outer("is_attached_to").alias("ref"))
-        # unattached refs (NULL — the majority) bypass both lookups
+        blocked_ids = needs.select(
+            F.col("url").alias("n_url"), F.col("frag").alias("n_frag"),
+            F.col("id").alias("n_id"))
+        # unattached refs (NULL — the majority) bypass the lookup
         refs = left_join_skipping_null_keys(
-            refs, edge_ids,
-            (refs.url == edge_ids.e_url) & (refs.frag == edge_ids.e_frag)
-            & (refs.ref == edge_ids.e_id),
+            refs, blocked_ids,
+            (refs.url == blocked_ids.n_url)
+            & (refs.frag == blocked_ids.n_frag)
+            & (refs.ref == blocked_ids.n_id),
             "ref",
-        ).withColumn("ref_is_edge", F.col("e_id").isNotNull()) \
-            .drop("e_url", "e_frag", "e_id")
-        pool_ids = pool.select(
-            F.col("d_url").alias("r_url"), F.col("d_frag").alias("r_frag"),
-            F.col("d_id").alias("r_id"))
-        refs = left_join_skipping_null_keys(
-            refs, pool_ids,
-            (refs.url == pool_ids.r_url) & (refs.frag == pool_ids.r_frag)
-            & (refs.ref == pool_ids.r_id),
-            "ref",
-        ).withColumn("ref_done", F.col("r_id").isNotNull()) \
-            .drop("r_url", "r_frag", "r_id")
+        ).withColumn("ref_blocked", F.col("n_id").isNotNull()) \
+            .drop("n_url", "n_frag", "n_id")
         ready_ids = refs.groupBy(*DOC_KEY, "id").agg(
-            F.min(F.when(F.col("ref_is_edge") & ~F.col("ref_done"), 0)
+            F.min(F.when(F.col("ref_blocked"), 0)
                   .otherwise(1)).alias("ready")
         ).filter(F.col("ready") == 1).select(*DOC_KEY, "id")
 
