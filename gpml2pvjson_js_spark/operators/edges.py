@@ -37,13 +37,17 @@ def _marker_types_map() -> Column:
     return F.create_map(*pairs)
 
 
-def convert_edges(converted: DataFrame) -> DataFrame:
-    """Edge mentions -> edge entities with provisional points.
+_EDGE_EXPRS: tuple | None = None
 
-    drawAs = ConnectorType + 'Line' (P12); stroke/fill/strokeWidth use
-    the has-Points branch of the converters
-    (ref: src/2013a/ValueConverters.ts:339-386)."""
-    e = converted.filter(F.col("gpml_element_name").isin(*_EDGE_NAMES))
+
+def _edge_exprs() -> tuple:
+    """convert_edges' point-struct transform and output projection —
+    pure functions of module constants and literal column names,
+    built once per process (same memo pattern as
+    entities._nodeish_exprs; ~2.3k py4j round-trips per build)."""
+    global _EDGE_EXPRS
+    if _EDGE_EXPRS is not None:
+        return _EDGE_EXPRS
     has_points = F.lit(True)
 
     pts = F.transform(
@@ -84,9 +88,7 @@ def convert_edges(converted: DataFrame) -> DataFrame:
         ).otherwise(acc),
     )
 
-    return (
-        e.withColumn("pts", pts)
-        .withColumns({
+    outcols = {
             "id": F.col("graph_id"),
             "kaavio_type": F.lit("Edge"),
             "marker_start": F.element_at("pts", 1).marker,
@@ -107,7 +109,23 @@ def convert_edges(converted: DataFrame) -> DataFrame:
                 F.transform(F.col("biopax_refs"),
                             lambda r: F.concat(F.lit("publicationXref"), r)),
             ),
-        })
+    }
+    _EDGE_EXPRS = (pts, outcols)
+    return _EDGE_EXPRS
+
+
+def convert_edges(converted: DataFrame) -> DataFrame:
+    """Edge mentions -> edge entities with provisional points.
+
+    drawAs = ConnectorType + 'Line' (P12); stroke/fill/strokeWidth use
+    the has-Points branch of the converters
+    (ref: src/2013a/ValueConverters.ts:339-386). The projection
+    expressions are memoized per process (_edge_exprs)."""
+    e = converted.filter(F.col("gpml_element_name").isin(*_EDGE_NAMES))
+    pts, outcols = _edge_exprs()
+    return (
+        e.withColumn("pts", pts)
+        .withColumns(outcols)
         .select(
             *DOC_KEY, "pathway_id", "elem_idx", "id", "gpml_element_name",
             "kaavio_type", "types", "marker_start", "marker_end", "draw_as",

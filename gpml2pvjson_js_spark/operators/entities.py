@@ -50,7 +50,29 @@ _CELLULAR_KEY = "org.pathvisio.CellularComponentProperty"
 _BACKPAGE_KEY = "org.pathvisio.model.BackpageHead"
 
 
+# Constant dimension frames, one per live SparkSession: the rows are
+# module constants (GPML_DEFAULTS / GROUP_STYLE_MAPPINGS), so the
+# DataFrame is a pure function of the code and the session — caching
+# the handle skips re-running createDataFrame's schema plumbing on
+# every model build. NOT result caching: the local relation embeds
+# the constant rows in the plan; nothing derives from any input path.
+_DIM_CACHE: dict = {}
+
+
+def _dim_frame(name: str, spark: SparkSession, builder) -> DataFrame:
+    key = (name, spark)
+    df = _DIM_CACHE.get(key)
+    if df is None:
+        df = builder(spark)
+        _DIM_CACHE[key] = df
+    return df
+
+
 def defaults_df(spark: SparkSession) -> DataFrame:
+    return _dim_frame("defaults", spark, _build_defaults_df)
+
+
+def _build_defaults_df(spark: SparkSession) -> DataFrame:
     rows = []
     for name, d in GPML_DEFAULTS.items():
         row = {"gpml_element_name": name}
@@ -73,6 +95,10 @@ def defaults_df(spark: SparkSession) -> DataFrame:
 
 
 def group_style_df(spark: SparkSession) -> DataFrame:
+    return _dim_frame("group_style", spark, _build_group_style_df)
+
+
+def _build_group_style_df(spark: SparkSession) -> DataFrame:
     rows = []
     for style, d in GROUP_STYLE_MAPPINGS.items():
         rows.append((style, d["shape_type"], d["line_style"],
@@ -159,21 +185,22 @@ def _base_types(extra_pre: Column | None = None) -> Column:
     return C.union_types(base, C.arr(curie))
 
 
-def convert_nodeish(df: DataFrame) -> DataFrame:
-    """Shared converters for DataNode/Shape/Label/State/Group/Anchor
-    rows (P1-P22). Input must have eff_* columns from with_defaults.
+_NODEISH_EXPRS: tuple | None = None
 
-    NOTE: built in *layers* of withColumns so reused sub-expressions
-    (stroke width, effective dims, rotation, rel scalars) become plain
-    attribute references downstream. A single flat projection would let
-    CollapseProject inline each CaseWhen tree at every use site, which
-    blows up plan stringification and whole-stage codegen (observed:
-    minutes of driver time on CaseWhen.toString)."""
+
+def _nodeish_exprs() -> tuple:
+    """The three convert_nodeish projection layers — pure functions of
+    module constants and literal column names, built once per process
+    (the same memo pattern as _eff_exprs; rebuilding them cost ~3.6k
+    py4j round-trips per model build)."""
+    global _NODEISH_EXPRS
+    if _NODEISH_EXPRS is not None:
+        return _NODEISH_EXPRS
     has_points = F.lit(False)
 
     # --- layer 1: shared scalars -----------------------------------
     is_anchor = F.col("gpml_element_name") == "Anchor"
-    df = df.withColumns({
+    layer1 = {
         "_dbl": F.coalesce(
             F.element_at(F.col("attributes"), _DOUBLE_LINE_KEY) == "Double",
             F.lit(False)),
@@ -187,7 +214,7 @@ def convert_nodeish(df: DataFrame) -> DataFrame:
         "_pos_y": C.rel_position_scalar(F.col("rel_y")),
         "_roff_x": C.rel_offset_scalar(F.col("rel_x")),
         "_roff_y": C.rel_offset_scalar(F.col("rel_y")),
-    })
+    }
 
     # --- layer 2: dims (getDimension adds LineThickness when
     # DoubleLineProperty is set, ref: src/2013a/ValueConverters.ts:166-179)
@@ -197,13 +224,13 @@ def convert_nodeish(df: DataFrame) -> DataFrame:
               & F.col("graph_id_explicit"), F.lit(0.0))
         .when(F.col("eff_anchor_shape") == "None", F.lit(4.0))
     )
-    df = df.withColumns({
+    layer2 = {
         "_w": F.col("width")
         + F.when(F.col("_dbl"), F.col("_sw")).otherwise(F.lit(0.0)),
         "_h": F.col("height")
         + F.when(F.col("_dbl"), F.col("_sw")).otherwise(F.lit(0.0)),
         "_anchor_w": anchor_w,
-    })
+    }
 
     # --- layer 3: outputs -------------------------------------------
     anchor_draw_shape = (
@@ -228,7 +255,7 @@ def convert_nodeish(df: DataFrame) -> DataFrame:
     att_off = F.when(is_anchor & F.col("position").isNotNull(),
                      F.array(F.lit(0.0), F.lit(0.0)))
 
-    out = df.withColumns({
+    layer3 = {
         "kaavio_type": _kaavio_type(),
         "stroke_width": F.when(is_anchor, F.lit(0.0)).otherwise(F.col("_sw")),
         "width_out": F.when(is_anchor, F.col("_anchor_w"))
@@ -285,7 +312,24 @@ def convert_nodeish(df: DataFrame) -> DataFrame:
         "is_attached_to": F.col("graph_ref"),
         "wp_type_out": F.col("eff_wp_type"),
         "state_type_out": F.col("eff_state_type"),
-    })
+    }
+    _NODEISH_EXPRS = (layer1, layer2, layer3)
+    return _NODEISH_EXPRS
+
+
+def convert_nodeish(df: DataFrame) -> DataFrame:
+    """Shared converters for DataNode/Shape/Label/State/Group/Anchor
+    rows (P1-P22). Input must have eff_* columns from with_defaults.
+
+    NOTE: built in *layers* of withColumns so reused sub-expressions
+    (stroke width, effective dims, rotation, rel scalars) become plain
+    attribute references downstream. A single flat projection would let
+    CollapseProject inline each CaseWhen tree at every use site, which
+    blows up plan stringification and whole-stage codegen (observed:
+    minutes of driver time on CaseWhen.toString). The layer dicts are
+    memoized per process (_nodeish_exprs)."""
+    layer1, layer2, layer3 = _nodeish_exprs()
+    out = df.withColumns(layer1).withColumns(layer2).withColumns(layer3)
     return out.drop("_dbl", "_sw", "_rot", "_pos_x", "_pos_y", "_roff_x",
                     "_roff_y", "_w", "_h", "_anchor_w")
 

@@ -67,3 +67,32 @@ def test_finish_and_eff_exprs_are_cached():
     assert E._eff_exprs() is first
     cols = E._ENTITY_COLS
     assert len(set(cols)) == len(cols)  # select list has no dup names
+
+
+def test_nodeish_and_edge_exprs_are_cached():
+    from gpml2pvjson_js_spark.operators import edges as Ed
+    first = E._nodeish_exprs()
+    assert E._nodeish_exprs() is first
+    l1, l2, l3 = first
+    assert set(l2) == {"_w", "_h", "_anchor_w"}
+    assert "kaavio_type" in l3 and "_dbl" in l1
+    ef = Ed._edge_exprs()
+    assert Ed._edge_exprs() is ef
+    pts, outcols = ef
+    assert "marker_start" in outcols and "types" in outcols
+
+
+def test_dim_frames_cached_per_session_and_equal(spark):
+    d1 = E.defaults_df(spark)
+    assert E.defaults_df(spark) is d1
+    g1 = E.group_style_df(spark)
+    assert E.group_style_df(spark) is g1
+    # cached handle carries exactly the rows a fresh build produces
+    fresh = E._build_defaults_df(spark)
+    assert d1.schema == fresh.schema
+    assert sorted(map(tuple, d1.collect())) == \
+        sorted(map(tuple, fresh.collect()))
+    freshg = E._build_group_style_df(spark)
+    assert g1.schema == freshg.schema
+    assert sorted(map(tuple, g1.collect())) == \
+        sorted(map(tuple, freshg.collect()))
