@@ -384,6 +384,19 @@ def build_free_nodes(converted: DataFrame) -> DataFrame:
     (ref: src/2013a/toPvjson.ts:359-373)."""
     df = converted.filter(
         F.col("gpml_element_name").isin("DataNode", "Shape", "Label"))
+    df = df.withColumns(_free_node_exprs())
+    return _finish(df)
+
+
+_FREE_NODE_EXPRS: dict | None = None
+
+
+def _free_node_exprs() -> dict:
+    """build_free_nodes' typing projection — name-based expressions
+    only, memoized per process."""
+    global _FREE_NODE_EXPRS
+    if _FREE_NODE_EXPRS is not None:
+        return _FREE_NODE_EXPRS
     is_dn = F.col("gpml_element_name") == "DataNode"
     is_shape = F.col("gpml_element_name") == "Shape"
     cc = F.col("cellular_component")
@@ -394,11 +407,13 @@ def build_free_nodes(converted: DataFrame) -> DataFrame:
                                            F.lit("CellularComponent")),
                             C.arr(cc))) \
         .otherwise(types)
-    df = df.withColumn("types", types)
-    # wpType key only exists on DataNodes; stateType never here
-    df = df.withColumn("wp_type_out", F.when(is_dn, F.col("wp_type_out")))
-    df = df.withColumn("state_type_out", F.lit(None).cast("string"))
-    return _finish(df)
+    _FREE_NODE_EXPRS = {
+        "types": types,
+        # wpType key only exists on DataNodes; stateType never here
+        "wp_type_out": F.when(is_dn, F.col("wp_type_out")),
+        "state_type_out": F.lit(None).cast("string"),
+    }
+    return _FREE_NODE_EXPRS
 
 
 def build_states(converted: DataFrame) -> DataFrame:
@@ -446,18 +461,23 @@ def build_anchors(converted: DataFrame) -> DataFrame:
     return _finish(anchors)
 
 
-def build_citations(mentions: DataFrame) -> DataFrame:
-    """PublicationXref entities + year-ordered citation ordinal (A6,
-    the reference's only window function,
-    ref: src/2013a/toPvjson.ts:939-980)."""
-    pubs = mentions.filter(F.col("gpml_element_name") == "PublicationXref")
+_CITATION_COLS: list | None = None
+
+
+def _citation_cols() -> list:
+    """build_citations' select list — name-based expressions only
+    (incl. the window spec), memoized per process like
+    _nodeish_exprs."""
+    global _CITATION_COLS
+    if _CITATION_COLS is not None:
+        return _CITATION_COLS
     w = Window.partitionBy(*DOC_KEY).orderBy(
         F.col("pub_year").cast("int").asc_nulls_last(), F.col("elem_idx"))
     curie = F.when(
         F.col("pub_db").isNotNull() & F.col("xref_identifier").isNotNull(),
         F.concat_ws(":", "pub_db", "xref_identifier"),
     )
-    return pubs.select(
+    _CITATION_COLS = [
         *DOC_KEY,
         "pathway_id",
         "elem_idx",
@@ -473,17 +493,29 @@ def build_citations(mentions: DataFrame) -> DataFrame:
         C.union_types(F.array(F.lit("PublicationXref")),
                       C.arr(curie)).alias("types"),
         F.row_number().over(w).cast("string").alias("text_content"),
-    )
+    ]
+    return _CITATION_COLS
 
 
-def build_vocabularies(mentions: DataFrame) -> DataFrame:
-    """openControlledVocabulary entities; ontology name -> IRI via a
-    broadcast literal map; unknown ontologies -> quarantine (J10,
-    ref: src/2013a/toPvjson.ts:892-937)."""
+def build_citations(mentions: DataFrame) -> DataFrame:
+    """PublicationXref entities + year-ordered citation ordinal (A6,
+    the reference's only window function,
+    ref: src/2013a/toPvjson.ts:939-980)."""
+    pubs = mentions.filter(F.col("gpml_element_name") == "PublicationXref")
+    return pubs.select(*_citation_cols())
+
+
+_VOCAB_EXPRS: tuple | None = None
+
+
+def _vocab_exprs() -> tuple:
+    """build_vocabularies' select list + derived columns — name-based
+    expressions of the module constants, memoized per process."""
+    global _VOCAB_EXPRS
+    if _VOCAB_EXPRS is not None:
+        return _VOCAB_EXPRS
     vocab_map = C._map_literal(VOCABULARY_NAME_TO_IRI)
-    vocabs = mentions.filter(
-        F.col("gpml_element_name") == "openControlledVocabulary")
-    v = vocabs.select(
+    sel = [
         *DOC_KEY,
         "pathway_id",
         "elem_idx",
@@ -491,19 +523,35 @@ def build_vocabularies(mentions: DataFrame) -> DataFrame:
         F.col("vocab_term").alias("term"),
         F.col("xref_identifier"),
         F.element_at(vocab_map, F.col("ontology")).alias("iri_prefix"),
-    )
-    v = v.withColumn(
-        "id", F.concat(F.col("iri_prefix"), F.col("xref_identifier")))
-    v = v.withColumn("types", F.array(F.lit("openControlledVocabulary")))
-    v = v.withColumn("gpml_element_name",
-                     F.lit("openControlledVocabulary"))
-    return v
+    ]
+    extra = {
+        "id": F.concat(F.col("iri_prefix"), F.col("xref_identifier")),
+        "types": F.array(F.lit("openControlledVocabulary")),
+        "gpml_element_name": F.lit("openControlledVocabulary"),
+    }
+    _VOCAB_EXPRS = (sel, extra)
+    return _VOCAB_EXPRS
 
 
-def build_pathways(mentions: DataFrame) -> DataFrame:
-    """Pathway metadata row -> pathway entity (A1/P19/JS1,
-    ref: src/2013a/toPvjson.ts:234-320)."""
-    p = mentions.filter(F.col("gpml_element_name") == "Pathway")
+def build_vocabularies(mentions: DataFrame) -> DataFrame:
+    """openControlledVocabulary entities; ontology name -> IRI via a
+    broadcast literal map; unknown ontologies -> quarantine (J10,
+    ref: src/2013a/toPvjson.ts:892-937)."""
+    vocabs = mentions.filter(
+        F.col("gpml_element_name") == "openControlledVocabulary")
+    sel, extra = _vocab_exprs()
+    return vocabs.select(*sel).withColumns(extra)
+
+
+_PATHWAY_COLS: list | None = None
+
+
+def _pathway_cols() -> list:
+    """build_pathways' select list — name-based expressions of the
+    module constants, memoized per process."""
+    global _PATHWAY_COLS
+    if _PATHWAY_COLS is not None:
+        return _PATHWAY_COLS
     d = GPML_DEFAULTS["Pathway"]
     name = C.html_unescape(F.coalesce(F.col("name"), F.lit(d["name"])))
     # "Name (variant)" -> standardName/displayName
@@ -529,7 +577,7 @@ def build_pathways(mentions: DataFrame) -> DataFrame:
     is_similar_to = C.encode_uri(F.concat(
         F.lit("http://wikipathways.org/index.php/Special:SearchPathways"
               "?query="), name, organism_part, F.lit("&doSearch=1")))
-    return p.select(
+    _PATHWAY_COLS = [
         *DOC_KEY,
         "pathway_id",
         F.col("pathway_id").alias("id"),
@@ -553,4 +601,12 @@ def build_pathways(mentions: DataFrame) -> DataFrame:
                    F.lit(d["board_height"])).alias("height"),
         F.col("comments"),
         F.array(F.lit("Pathway")).alias("types"),
-    )
+    ]
+    return _PATHWAY_COLS
+
+
+def build_pathways(mentions: DataFrame) -> DataFrame:
+    """Pathway metadata row -> pathway entity (A1/P19/JS1,
+    ref: src/2013a/toPvjson.ts:234-320)."""
+    p = mentions.filter(F.col("gpml_element_name") == "Pathway")
+    return p.select(*_pathway_cols())
